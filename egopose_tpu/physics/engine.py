@@ -1,0 +1,426 @@
+"""Batched rigid-body dynamics engine in JAX (world-frame spatial algebra).
+
+This is the TPU-native replacement for the MuJoCo C engine the reference
+drives through mujoco_py (/root/reference/envs/common/mujoco_env.py,
+/root/reference/ego_pose/envs/humanoid_v1.py:130-174).  Design:
+
+- All functions are pure and operate on a single environment; thousands of
+  rollout lanes batch with ``jax.vmap`` (throughput comes from the batch, not
+  from per-env parallelism -- the humanoid has only 58 dofs).
+- Tree algorithms are *vectorized*, not unrolled: forward kinematics runs as
+  a ``lax.scan`` over tree depth with all bodies of a level processed as one
+  batch, and CRBA / RNEA / contact-force propagation use precomputed 0/1
+  path-and-subtree masks so accumulation over the kinematic tree becomes a
+  handful of dense matmuls (MXU-friendly; also keeps the XLA graph small).
+- Algorithms: sequential-joint forward kinematics (MuJoCo semantics), CRBA
+  for the joint-space inertia matrix, RNEA for bias forces (gravity +
+  Coriolis; validated to 1e-8 against mj_fullM / qfrc_bias), penalty floor
+  contacts with regularized Coulomb friction, soft joint limits, and
+  semi-implicit Euler integration with implicit joint damping (MuJoCo Euler).
+- Free-joint conventions match MuJoCo: qvel[0:3] world-frame linear velocity
+  of the body frame origin, qvel[3:6] body-local angular velocity; quaternion
+  integration via the local-frame exponential map.
+
+Spatial vectors are [omega; v_O] (angular; linear velocity of the body-fixed
+point coinciding with the world origin).  Spatial forces are [n_O; f].
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import quat as Q
+from .model import PhysicsModel
+
+
+class Kin(NamedTuple):
+    """World-frame kinematic state of all bodies."""
+    xpos: jax.Array    # (nb,3) body frame origins
+    xquat: jax.Array   # (nb,4) body frame orientations
+    com: jax.Array     # (nb,3) body coms (world)
+    s: jax.Array       # (nd,6) joint motion subspaces (world)
+
+
+class ContactParams(NamedTuple):
+    """Contact-solver / joint-limit parameters (see contact_project)."""
+    margin: float = 1.0e-3   # activation margin (m)
+    beta: float = 0.2        # Baumgarte penetration-recovery factor
+    slop: float = 1.0e-4     # penetration allowed without correction (m)
+    iters: int = 15          # projected-Jacobi iterations
+    relax: float = 0.7       # under-relaxation for the Jacobi sweep
+    klim: float = 200.0      # joint-limit stiffness (N m / rad)
+    blim: float = 5.0        # joint-limit damping (N m s / rad)
+
+
+DEFAULT_CONTACT = ContactParams()
+
+
+# ---------------------------------------------------------------------------
+# forward kinematics (scan over tree depth, batched within a level)
+# ---------------------------------------------------------------------------
+
+def fk(m: PhysicsModel, qpos: jax.Array) -> Kin:
+    """Forward kinematics: world pose of every body + joint motion subspaces.
+
+    MuJoCo joint semantics: within a body, hinge joints apply sequentially,
+    each about its locally-specified axis/anchor in the frame produced by the
+    preceding joints (verified to 1e-12 against mj_kinematics).
+    """
+    nb, nd = m.nbody, m.ndof
+    dtype = qpos.dtype
+
+    qpos_pad = jnp.concatenate([qpos, jnp.zeros(1, dtype)])
+
+    # carries are padded with one dummy row so masked lanes write nowhere
+    xpos0 = jnp.zeros((nb + 1, 3), dtype)
+    xquat0 = jnp.zeros((nb + 1, 4), dtype).at[:, 0].set(1.0)
+    s0 = jnp.zeros((nd + 1, 6), dtype)
+
+    root_q = Q.quat_normalize(qpos[3:7])
+    r0 = Q.quat_to_mat(root_q)
+    xpos0 = xpos0.at[0].set(qpos[:3])
+    xquat0 = xquat0.at[0].set(root_q)
+    # free joint: 3 world-frame translations, 3 body-frame rotations about the
+    # body origin (MuJoCo convention)
+    eye = jnp.eye(3, dtype=dtype)
+    s0 = s0.at[0:3, 3:].set(eye)
+    s0 = s0.at[3:6, :3].set(r0.T)  # rows = world directions of local axes
+    s0 = s0.at[3:6, 3:].set(jnp.cross(jnp.broadcast_to(qpos[:3], (3, 3)), r0.T))
+
+    def level(carry, xs):
+        xpos, xquat, s = carry
+        body, parent, bodypos, axis, anchor, qidx, didx = xs
+        # W = parent world transform composed with the fixed body offset
+        wq = xquat[parent]                       # (B,4)
+        wt = xpos[parent] + Q.quat_rotate(wq, bodypos)
+        for k in range(3):                       # 3 hinge slots, masked by pad
+            a = axis[:, k]                       # (B,3) local axis (constant)
+            c = anchor[:, k]
+            angle = qpos_pad[qidx[:, k]]
+            axis_w = Q.quat_rotate(wq, a)
+            anchor_w = wt + Q.quat_rotate(wq, c)
+            s = s.at[didx[:, k]].set(
+                jnp.concatenate([axis_w, jnp.cross(anchor_w, axis_w)], -1))
+            # rotate about the local axis through the local anchor:
+            # W <- W o [T(c) R(a,angle) T(-c)]
+            r = Q.axis_angle_to_quat(a, angle)
+            wq = Q.quat_mul(wq, r)
+            wt = anchor_w - Q.quat_rotate(wq, c)
+        xpos = xpos.at[body].set(wt)
+        xquat = xquat.at[body].set(wq)
+        return (xpos, xquat, s), None
+
+    xs = (m.level_body, m.level_parent, m.level_bodypos, m.level_axis,
+          m.level_anchor, m.level_qpos_idx, m.level_dof_idx)
+    (xposp, xquatp, sp), _ = jax.lax.scan(level, (xpos0, xquat0, s0), xs)
+    xpos, xquat, s = xposp[:nb], xquatp[:nb], sp[:nd]
+    com = xpos + Q.quat_rotate(xquat, m.body_ipos)
+    return Kin(xpos=xpos, xquat=xquat, com=com, s=s)
+
+
+def subtree_com(m: PhysicsModel, kin: Kin) -> jax.Array:
+    """Whole-model center of mass (reference: data.subtree_com[0],
+    humanoid_v1.py:127-128)."""
+    return jnp.sum(m.body_mass[:, None] * kin.com, axis=0) / jnp.sum(m.body_mass)
+
+
+# ---------------------------------------------------------------------------
+# velocities / inertias
+# ---------------------------------------------------------------------------
+
+def body_velocities(m: PhysicsModel, kin: Kin, qvel: jax.Array) -> jax.Array:
+    """Spatial velocity [w; v_O] of each body, world frame.  (nb,6).
+    v[b] = sum of S_d qdot_d over the dofs on the path root->b: one matmul."""
+    sq = kin.s * qvel[:, None]
+    return m.body_dof_mask @ sq
+
+
+def spatial_inertia_world(m: PhysicsModel, kin: Kin):
+    """Per-body world-frame inertia (nb,3,3) about the body com."""
+    r = Q.quat_to_mat(kin.xquat)
+    return jnp.einsum("bij,bjk,blk->bil", r, m.body_inertia, r)
+
+
+def _apply_inertia(mass, com, ic, v):
+    """I * v for spatial inertia about world origin.  v (...,6) -> (...,6)."""
+    w, vo = v[..., :3], v[..., 3:]
+    p = mass[..., None] * (vo + jnp.cross(w, com))
+    n = jnp.einsum("...ij,...j->...i", ic, w) + jnp.cross(com, p)
+    return jnp.concatenate([n, p], axis=-1)
+
+
+def _cross_motion(a, b):
+    """Spatial motion cross product a x b."""
+    wa, va = a[..., :3], a[..., 3:]
+    wb, vb = b[..., :3], b[..., 3:]
+    return jnp.concatenate([jnp.cross(wa, wb), jnp.cross(wa, vb) + jnp.cross(va, wb)], -1)
+
+
+def _cross_force(v, f):
+    """Spatial force cross product v x* f."""
+    w, vl = v[..., :3], v[..., 3:]
+    n, fl = f[..., :3], f[..., 3:]
+    return jnp.concatenate([jnp.cross(w, n) + jnp.cross(vl, fl), jnp.cross(w, fl)], -1)
+
+
+# ---------------------------------------------------------------------------
+# CRBA: joint-space inertia matrix
+# ---------------------------------------------------------------------------
+
+def crba(m: PhysicsModel, kin: Kin) -> jax.Array:
+    """Composite-rigid-body mass matrix M (nd,nd), including armature.
+    Mirrors what mjf.mj_fullM exposes to the reference
+    (/root/reference/ego_pose/envs/humanoid_v1.py:133-135).
+
+    Composite subtree inertias are formed with the descendant mask (matmuls),
+    then M = S I^C S^T gated by the ancestor mask."""
+    ic_c = spatial_inertia_world(m, kin)
+    eye = jnp.eye(3, dtype=kin.xpos.dtype)
+    # second moment about world origin per body
+    io = ic_c + m.body_mass[:, None, None] * (
+        jnp.sum(kin.com * kin.com, -1)[:, None, None] * eye
+        - jnp.einsum("bi,bj->bij", kin.com, kin.com))
+    mom = m.body_mass[:, None] * kin.com
+    # composite (subtree) quantities
+    cmass = m.body_desc_mask @ m.body_mass
+    cmom = m.body_desc_mask @ mom
+    cio = jnp.einsum("bc,cij->bij", m.body_desc_mask, io)
+
+    db = jnp.asarray(m.dof_body)
+    w, vo = kin.s[:, :3], kin.s[:, 3:]
+    cm_d, cmom_d, cio_d = cmass[db], cmom[db], cio[db]
+    p = cm_d[:, None] * vo + jnp.cross(w, cmom_d)
+    n = jnp.einsum("dij,dj->di", cio_d, w) + jnp.cross(cmom_d, vo)
+    f = jnp.concatenate([n, p], axis=-1)  # (nd,6)
+
+    u = f @ kin.s.T
+    mm = m.anc_mask * u + m.anc_mask.T * (1.0 - m.anc_mask) * u.T
+    return mm + jnp.diag(m.dof_armature)
+
+
+# ---------------------------------------------------------------------------
+# RNEA: bias forces (gravity + Coriolis/centrifugal)
+# ---------------------------------------------------------------------------
+
+def bias_force(m: PhysicsModel, kin: Kin, qvel: jax.Array) -> jax.Array:
+    """qfrc_bias (nd,): generalized force such that M qacc = tau - qfrc_bias
+    for the unconstrained system.  Matches MuJoCo data.qfrc_bias.
+
+    The velocity-product (Sdot qdot) term uses the precomputed vp_mask: each
+    dof's motion subspace is materially attached to the frame carrying its
+    ancestors plus the *earlier* dofs of the same body (free rotational dofs:
+    the whole root body; free translational dofs: the world)."""
+    ic_c = spatial_inertia_world(m, kin)
+    v = body_velocities(m, kin, qvel)  # (nb,6)
+
+    sq = kin.s * qvel[:, None]
+    v_frame = m.vp_mask @ sq                      # (nd,6)
+    cj = _cross_motion(v_frame, sq)               # (nd,6) per-dof Sdot qdot
+    # gravity trick: fictitious base acceleration -g
+    a0 = jnp.concatenate([jnp.zeros(3, qvel.dtype), -m.gravity.astype(qvel.dtype)])
+    a = a0 + m.body_dof_mask @ cj                 # (nb,6)
+
+    iv = _apply_inertia(m.body_mass, kin.com, ic_c, v)
+    ia = _apply_inertia(m.body_mass, kin.com, ic_c, a)
+    f = ia + _cross_force(v, iv)                  # (nb,6)
+    ftot = jnp.einsum("bd,bi->di", m.body_dof_mask, f)
+    return jnp.sum(kin.s * ftot, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# contacts (penalty model vs the z=0 floor plane) and joint limits
+# ---------------------------------------------------------------------------
+
+def contact_project(m: PhysicsModel, kin: Kin, chol_l: jax.Array,
+                    v_pred: jax.Array,
+                    params: ContactParams = DEFAULT_CONTACT) -> jax.Array:
+    """Velocity-level floor-contact solve: project the predicted velocity
+    onto the contact constraints via impulses.
+
+    Replaces MuJoCo's constraint solver for the floor contacts of the EgoPose
+    humanoid.  Formulation: an inelastic contact QP over point impulses
+    lambda (tangent-x, tangent-y, normal per candidate point), solved with a
+    diagonally-preconditioned projected Jacobi iteration -- all dense matmuls,
+    so thousands of vmapped lanes map straight onto the MXU.  A Baumgarte
+    bias removes penetration without bounce; friction uses a box (pyramidal)
+    cone.  Unconditionally stable (impulses, not penalty forces).
+    """
+    nd = m.ndof
+    k = m.cpoint_local.shape[0]
+    dt = m.timestep
+
+    p = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
+                                                m.cpoint_local)
+    phi = m.cpoint_radius - p[:, 2]                 # penetration depth
+    act = (phi > -params.margin).astype(v_pred.dtype)
+
+    # point Jacobians: v_point = J qvel;  J[k, :, d] = s_lin_d + s_ang_d x p_k
+    # for dofs d on the path root -> body(k) only (point_dof_mask)
+    s_ang, s_lin = kin.s[:, :3], kin.s[:, 3:]       # (nd,3)
+    jp = s_lin[None] + jnp.cross(jnp.broadcast_to(s_ang[None], (k, nd, 3)),
+                                 p[:, None, :])     # (K,nd,3)
+    jp = jp * (act[:, None] * m.point_dof_mask.T)[:, :, None]
+    jf = jp.transpose(0, 2, 1).reshape(3 * k, nd)   # rows: (x,y,z) per point
+
+    w = jax.scipy.linalg.cho_solve((chol_l, True), jf.T)   # (nd,3K)
+    a = jf @ w                                      # (3K,3K)
+    b = jf @ v_pred
+
+    # normal rows target a small outward (+z) velocity removing penetration
+    vn_target = params.beta * jnp.maximum(phi - params.slop, 0.0) / dt * act
+    target = jnp.zeros((k, 3), v_pred.dtype).at[:, 2].set(vn_target).reshape(-1)
+    bhat = b - target
+
+    diag = jnp.diagonal(a) + 1.0e-9
+    mu = m.cpoint_mu
+
+    def sweep(lam, _):
+        g = a @ lam + bhat
+        lam = lam - params.relax * g / diag
+        lam = lam.reshape(k, 3)
+        ln = jnp.maximum(lam[:, 2], 0.0)
+        lim = mu * ln
+        lt = jnp.clip(lam[:, :2], -lim[:, None], lim[:, None])
+        return jnp.concatenate([lt, ln[:, None]], -1).reshape(-1), None
+
+    lam0 = jnp.zeros(3 * k, v_pred.dtype)
+    lam, _ = jax.lax.scan(sweep, lam0, None, length=params.iters)
+    return v_pred + w @ lam
+
+
+def limit_qfrc(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
+               params: ContactParams = DEFAULT_CONTACT) -> jax.Array:
+    """Soft joint-limit torques for limited hinge dofs."""
+    q = qpos[7:]
+    dq = qvel[6:]
+    below = jnp.maximum(m.jnt_range[:, 0] - q, 0.0)
+    above = jnp.maximum(q - m.jnt_range[:, 1], 0.0)
+    viol = ((below > 0) | (above > 0)).astype(qpos.dtype)
+    tau = (params.klim * (below - above) - viol * params.blim * dq) * m.jnt_limited_f
+    return jnp.concatenate([jnp.zeros(6, qpos.dtype), tau])
+
+
+# ---------------------------------------------------------------------------
+# forward dynamics + integration
+# ---------------------------------------------------------------------------
+
+def smooth_dynamics(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
+                    tau: jax.Array, params: ContactParams = DEFAULT_CONTACT,
+                    kin: Kin | None = None,
+                    mm: jax.Array | None = None,
+                    qfrc_bias: jax.Array | None = None):
+    """Constraint-free qacc from applied generalized force tau (nd,), plus the
+    Cholesky factor of the (implicitly damped) inertia used for the solve.
+    Implicit joint damping follows MuJoCo's Euler integrator:
+    (M + dt*diag(damping)) qacc = rhs."""
+    if kin is None:
+        kin = fk(m, qpos)
+    if mm is None:
+        mm = crba(m, kin)
+    if qfrc_bias is None:
+        qfrc_bias = bias_force(m, kin, qvel)
+    qfrc = tau - qfrc_bias + limit_qfrc(m, qpos, qvel, params) \
+        - m.dof_damping * qvel \
+        - jnp.concatenate([jnp.zeros(6, qpos.dtype),
+                           m.dof_stiffness[6:] * qpos[7:]])
+    a = mm + m.timestep * jnp.diag(m.dof_damping)
+    l = jnp.linalg.cholesky(a)
+    return jax.scipy.linalg.cho_solve((l, True), qfrc), l, kin
+
+
+def integrate(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
+    """Semi-implicit position update (MuJoCo mj_integratePos semantics)."""
+    pos = qpos[:3] + dt * qvel[:3]
+    quat = Q.quat_integrate(qpos[3:7], qvel[3:6], dt)
+    joints = qpos[7:] + dt * qvel[6:]
+    return jnp.concatenate([pos, quat, joints])
+
+
+def step_raw(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array, tau: jax.Array,
+             params: ContactParams = DEFAULT_CONTACT):
+    """One physics substep at m.timestep with generalized applied force tau:
+    smooth dynamics -> predicted velocity -> contact projection -> integrate."""
+    qacc, chol_l, kin = smooth_dynamics(m, qpos, qvel, tau, params)
+    v_pred = qvel + m.timestep * qacc
+    qvel = contact_project(m, kin, chol_l, v_pred, params)
+    qpos = integrate(m, qpos, qvel, m.timestep)
+    return qpos, qvel
+
+
+# ---------------------------------------------------------------------------
+# stable-PD control step (the reference's do_simulation contract)
+# ---------------------------------------------------------------------------
+
+def stable_pd_torque(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
+                     ctrl: jax.Array, jkp: jax.Array, jkd: jax.Array,
+                     kin: Kin | None = None, mm: jax.Array | None = None,
+                     qfrc_bias: jax.Array | None = None) -> jax.Array:
+    """Stable-PD actuator torque (nu,).
+
+    Mirrors compute_torque/compute_desired_accel
+    (/root/reference/ego_pose/envs/humanoid_v1.py:130-156): solve
+    (M + Kd*dt) qacc = -C - Kp*e - Kd*edot, then
+    tau = -kp*e - kd*(edot + qacc*dt) on the actuated dofs.
+    """
+    if kin is None:
+        kin = fk(m, qpos)
+    if mm is None:
+        mm = crba(m, kin)
+    if qfrc_bias is None:
+        qfrc_bias = bias_force(m, kin, qvel)
+    dt = m.timestep
+    k_p = jnp.concatenate([jnp.zeros(6, qpos.dtype), jkp])
+    k_d = jnp.concatenate([jnp.zeros(6, qpos.dtype), jkd])
+    qpos_err = jnp.concatenate([jnp.zeros(6, qpos.dtype), qpos[7:] - ctrl])
+    qvel_err = qvel
+    rhs = -qfrc_bias - k_p * qpos_err - k_d * qvel_err
+    a = mm + dt * jnp.diag(k_d)
+    l = jnp.linalg.cholesky(a)
+    qacc = jax.scipy.linalg.cho_solve((l, True), rhs)
+    qvel_err = qvel_err + qacc * dt
+    return -jkp * qpos_err[6:] - jkd * qvel_err[6:]
+
+
+def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
+                    ctrl: jax.Array, jkp: jax.Array, jkd: jax.Array,
+                    torque_lim: jax.Array, n_frames: int,
+                    params: ContactParams = DEFAULT_CONTACT):
+    """Reference do_simulation (humanoid_v1.py:158-174): n_frames substeps of
+    stable-PD torque (recomputed each substep) + dynamics integration."""
+
+    def substep(carry, _):
+        qp, qv = carry
+        kin = fk(m, qp)
+        mm = crba(m, kin)
+        qfrc_bias = bias_force(m, kin, qv)
+        torque = stable_pd_torque(m, qp, qv, ctrl, jkp, jkd, kin, mm, qfrc_bias)
+        torque = jnp.clip(torque, -torque_lim, torque_lim)
+        tau = jnp.zeros(m.ndof, qp.dtype).at[jnp.asarray(m.actuator_dof)].add(
+            torque * m.actuator_gear)
+        qacc, chol_l, _ = smooth_dynamics(m, qp, qv, tau, params, kin, mm, qfrc_bias)
+        v_pred = qv + m.timestep * qacc
+        qv = contact_project(m, kin, chol_l, v_pred, params)
+        qp = integrate(m, qp, qv, m.timestep)
+        return (qp, qv), None
+
+    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None, length=n_frames)
+    return qpos, qvel
+
+
+def torque_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
+                        ctrl: jax.Array, torque_lim: jax.Array, n_frames: int,
+                        params: ContactParams = DEFAULT_CONTACT):
+    """do_simulation with action_type == 'torque' (humanoid_v1.py:170-171)."""
+    torque = jnp.clip(ctrl, -torque_lim, torque_lim)
+    tau = jnp.zeros(m.ndof, qpos.dtype).at[jnp.asarray(m.actuator_dof)].add(
+        torque * m.actuator_gear)
+
+    def substep(carry, _):
+        qp, qv = carry
+        qp, qv = step_raw(m, qp, qv, tau, params)
+        return (qp, qv), None
+
+    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None, length=n_frames)
+    return qpos, qvel

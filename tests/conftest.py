@@ -13,4 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# belt and braces: some plugin may import jax before this conftest, in which
+# case the env var above is read too late -- the config route always works
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
