@@ -34,6 +34,15 @@ import jax.numpy as jnp
 from ..ops import quat as Q
 from .model import PhysicsModel
 
+# TPU matmuls default to reduced (bf16) precision for f32 inputs, which is
+# fatal for mass-matrix algebra -- pin every contraction in the engine to
+# full precision.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 class Kin(NamedTuple):
     """World-frame kinematic state of all bodies."""
@@ -48,8 +57,9 @@ class ContactParams(NamedTuple):
     margin: float = 1.0e-3   # activation margin (m)
     beta: float = 0.2        # Baumgarte penetration-recovery factor
     slop: float = 1.0e-4     # penetration allowed without correction (m)
-    iters: int = 15          # projected-Jacobi iterations
-    relax: float = 0.7       # under-relaxation for the Jacobi sweep
+    iters: int = 25          # projected-Jacobi iterations
+    relax: float = 1.0       # relaxation for the (row-sum-scaled) sweep
+    max_contacts: int = 16   # top-K deepest candidate points kept per substep
     klim: float = 200.0      # joint-limit stiffness (N m / rad)
     blim: float = 5.0        # joint-limit damping (N m s / rad)
 
@@ -134,20 +144,21 @@ def body_velocities(m: PhysicsModel, kin: Kin, qvel: jax.Array) -> jax.Array:
     """Spatial velocity [w; v_O] of each body, world frame.  (nb,6).
     v[b] = sum of S_d qdot_d over the dofs on the path root->b: one matmul."""
     sq = kin.s * qvel[:, None]
-    return m.body_dof_mask @ sq
+    return _mm(m.body_dof_mask, sq)
 
 
 def spatial_inertia_world(m: PhysicsModel, kin: Kin):
     """Per-body world-frame inertia (nb,3,3) about the body com."""
     r = Q.quat_to_mat(kin.xquat)
-    return jnp.einsum("bij,bjk,blk->bil", r, m.body_inertia, r)
+    return jnp.einsum("bij,bjk,blk->bil", r, m.body_inertia, r,
+                      precision=_HI)
 
 
 def _apply_inertia(mass, com, ic, v):
     """I * v for spatial inertia about world origin.  v (...,6) -> (...,6)."""
     w, vo = v[..., :3], v[..., 3:]
     p = mass[..., None] * (vo + jnp.cross(w, com))
-    n = jnp.einsum("...ij,...j->...i", ic, w) + jnp.cross(com, p)
+    n = jnp.einsum("...ij,...j->...i", ic, w, precision=_HI) + jnp.cross(com, p)
     return jnp.concatenate([n, p], axis=-1)
 
 
@@ -184,18 +195,18 @@ def crba(m: PhysicsModel, kin: Kin) -> jax.Array:
         - jnp.einsum("bi,bj->bij", kin.com, kin.com))
     mom = m.body_mass[:, None] * kin.com
     # composite (subtree) quantities
-    cmass = m.body_desc_mask @ m.body_mass
-    cmom = m.body_desc_mask @ mom
-    cio = jnp.einsum("bc,cij->bij", m.body_desc_mask, io)
+    cmass = _mm(m.body_desc_mask, m.body_mass)
+    cmom = _mm(m.body_desc_mask, mom)
+    cio = jnp.einsum("bc,cij->bij", m.body_desc_mask, io, precision=_HI)
 
     db = jnp.asarray(m.dof_body)
     w, vo = kin.s[:, :3], kin.s[:, 3:]
     cm_d, cmom_d, cio_d = cmass[db], cmom[db], cio[db]
     p = cm_d[:, None] * vo + jnp.cross(w, cmom_d)
-    n = jnp.einsum("dij,dj->di", cio_d, w) + jnp.cross(cmom_d, vo)
+    n = jnp.einsum("dij,dj->di", cio_d, w, precision=_HI) + jnp.cross(cmom_d, vo)
     f = jnp.concatenate([n, p], axis=-1)  # (nd,6)
 
-    u = f @ kin.s.T
+    u = _mm(f, kin.s.T)
     mm = m.anc_mask * u + m.anc_mask.T * (1.0 - m.anc_mask) * u.T
     return mm + jnp.diag(m.dof_armature)
 
@@ -216,16 +227,16 @@ def bias_force(m: PhysicsModel, kin: Kin, qvel: jax.Array) -> jax.Array:
     v = body_velocities(m, kin, qvel)  # (nb,6)
 
     sq = kin.s * qvel[:, None]
-    v_frame = m.vp_mask @ sq                      # (nd,6)
+    v_frame = _mm(m.vp_mask, sq)                      # (nd,6)
     cj = _cross_motion(v_frame, sq)               # (nd,6) per-dof Sdot qdot
     # gravity trick: fictitious base acceleration -g
     a0 = jnp.concatenate([jnp.zeros(3, qvel.dtype), -m.gravity.astype(qvel.dtype)])
-    a = a0 + m.body_dof_mask @ cj                 # (nb,6)
+    a = a0 + _mm(m.body_dof_mask, cj)                 # (nb,6)
 
     iv = _apply_inertia(m.body_mass, kin.com, ic_c, v)
     ia = _apply_inertia(m.body_mass, kin.com, ic_c, a)
     f = ia + _cross_force(v, iv)                  # (nb,6)
-    ftot = jnp.einsum("bd,bi->di", m.body_dof_mask, f)
+    ftot = jnp.einsum("bd,bi->di", m.body_dof_mask, f, precision=_HI)
     return jnp.sum(kin.s * ftot, axis=-1)
 
 
@@ -248,12 +259,18 @@ def contact_project(m: PhysicsModel, kin: Kin, chol_l: jax.Array,
     cone.  Unconditionally stable (impulses, not penalty forces).
     """
     nd = m.ndof
-    k = m.cpoint_local.shape[0]
     dt = m.timestep
+    k = min(params.max_contacts, m.ncpoint)
 
-    p = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
-                                                m.cpoint_local)
-    phi = m.cpoint_radius - p[:, 2]                 # penetration depth
+    p_all = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
+                                                    m.cpoint_local)
+    phi_all = m.cpoint_radius - p_all[:, 2]          # penetration depth
+    # keep only the K deepest candidates (contacts are sparse: in normal
+    # operation only the feet touch) -- cuts the QP from 3*ncpoint to 3*K
+    phi, sel = jax.lax.top_k(phi_all, k)
+    p = p_all[sel]
+    mu = m.cpoint_mu[sel]
+    dof_mask = m.point_dof_mask.T[sel]               # (K,nd)
     act = (phi > -params.margin).astype(v_pred.dtype)
 
     # point Jacobians: v_point = J qvel;  J[k, :, d] = s_lin_d + s_ang_d x p_k
@@ -261,23 +278,28 @@ def contact_project(m: PhysicsModel, kin: Kin, chol_l: jax.Array,
     s_ang, s_lin = kin.s[:, :3], kin.s[:, 3:]       # (nd,3)
     jp = s_lin[None] + jnp.cross(jnp.broadcast_to(s_ang[None], (k, nd, 3)),
                                  p[:, None, :])     # (K,nd,3)
-    jp = jp * (act[:, None] * m.point_dof_mask.T)[:, :, None]
+    jp = jp * (act[:, None] * dof_mask)[:, :, None]
     jf = jp.transpose(0, 2, 1).reshape(3 * k, nd)   # rows: (x,y,z) per point
 
     w = jax.scipy.linalg.cho_solve((chol_l, True), jf.T)   # (nd,3K)
-    a = jf @ w                                      # (3K,3K)
-    b = jf @ v_pred
+    a = _mm(jf, w)                                      # (3K,3K)
+    b = _mm(jf, v_pred)
 
     # normal rows target a small outward (+z) velocity removing penetration
-    vn_target = params.beta * jnp.maximum(phi - params.slop, 0.0) / dt * act
+    # (clamped so deep spawns don't get a huge corrective kick)
+    vn_target = jnp.minimum(
+        params.beta * jnp.maximum(phi - params.slop, 0.0) / dt, 1.0) * act
     target = jnp.zeros((k, 3), v_pred.dtype).at[:, 2].set(vn_target).reshape(-1)
     bhat = b - target
 
-    diag = jnp.diagonal(a) + 1.0e-9
-    mu = m.cpoint_mu
+    # Gershgorin (mass-splitting) preconditioner: plain diagonal Jacobi can
+    # diverge when many points couple through one body (e.g. 8 corners of a
+    # foot box); dividing by the absolute row sum makes the sweep a
+    # contraction for the SPD system
+    diag = jnp.sum(jnp.abs(a), axis=-1) + 1.0e-9
 
     def sweep(lam, _):
-        g = a @ lam + bhat
+        g = _mm(a, lam) + bhat
         lam = lam - params.relax * g / diag
         lam = lam.reshape(k, 3)
         ln = jnp.maximum(lam[:, 2], 0.0)
@@ -287,7 +309,7 @@ def contact_project(m: PhysicsModel, kin: Kin, chol_l: jax.Array,
 
     lam0 = jnp.zeros(3 * k, v_pred.dtype)
     lam, _ = jax.lax.scan(sweep, lam0, None, length=params.iters)
-    return v_pred + w @ lam
+    return v_pred + _mm(w, lam)
 
 
 def limit_qfrc(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
