@@ -1,0 +1,122 @@
+"""Headline benchmark: PPO sampling throughput (env-steps/sec) on TPU.
+
+Prints ONE JSON line:
+  {"metric": "ppo_env_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": N}
+
+Baseline = the reference's sampling architecture (stable-PD MuJoCo C physics
+stepped per-worker on CPU, agents/agent.py:93-105) measured on this host and
+scaled to the reference's default 12 worker processes.  The baseline number
+is cached in .bench_baseline.json after the first run.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(HERE, ".bench_baseline.json")
+LANES = int(os.environ.get("BENCH_LANES", "4096"))
+SEGMENTS = int(os.environ.get("BENCH_SEGMENTS", "2"))
+
+
+def measure_cpu_baseline(seconds=8.0):
+    """Reference-equivalent sampling loop: MuJoCo C + stable-PD at 30 Hz."""
+    import mujoco
+    import yaml
+    from scipy.linalg import cho_factor, cho_solve
+    from egopose_tpu.physics import parse_mjcf, export_mjcf
+
+    spec = parse_mjcf(os.path.join(HERE, "assets/mujoco_models/humanoid_1205_v1.xml"))
+    mj = mujoco.MjModel.from_xml_string(export_mjcf(spec))
+    d = mujoco.MjData(mj)
+    cfg = yaml.safe_load(open(os.path.join(HERE, "config/egomimic/subject_03.yml")))
+    jp = list(zip(*cfg["joint_params"]))
+    jkp = np.array(jp[1], dtype=float) * cfg["jkp_multiplier"]
+    jkd = np.array(jp[2], dtype=float) * cfg["jkp_multiplier"]
+    tl = np.array(jp[5], dtype=float)
+    d.qpos[2] = 0.91
+    d.qpos[3] = 1.0
+    kp = np.zeros(mj.nv)
+    kd = np.zeros(mj.nv)
+    kp[6:] = jkp
+    kd[6:] = jkd
+    mfull = np.zeros((mj.nv, mj.nv))
+    ctrl = np.zeros(spec.nu)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        for _ in range(15):
+            mujoco.mj_forward(mj, d)
+            mujoco.mj_fullM(mj, d, mfull)
+            e = np.concatenate([np.zeros(6), d.qpos[7:] - ctrl])
+            qacc = cho_solve(cho_factor(mfull + np.diag(kd) * mj.opt.timestep),
+                             -d.qfrc_bias - kp * e - kd * d.qvel)
+            tq = -jkp * e[6:] - jkd * (d.qvel + qacc * mj.opt.timestep)[6:]
+            d.ctrl[:] = np.clip(tq, -tl, tl)
+            mujoco.mj_step(mj, d)
+        n += 1
+        if d.qpos[2] < 0.3 or not np.isfinite(d.qpos).all():
+            mujoco.mj_resetData(mj, d)
+            d.qpos[2] = 0.91
+            d.qpos[3] = 1.0
+    per_core = n / (time.time() - t0)
+    return per_core * 12.0  # reference default: --num-threads 12
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        return json.load(open(BASELINE_CACHE))["cpu12_env_steps_per_sec"]
+    v = measure_cpu_baseline()
+    json.dump({"cpu12_env_steps_per_sec": v}, open(BASELINE_CACHE, "w"))
+    return v
+
+
+def measure_tpu():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    import jax.numpy as jnp
+    import yaml
+    from egopose_tpu.utils.config import EgoMimicConfig
+    from egopose_tpu.rl import AgentEgo
+    from egopose_tpu.cli.ego_mimic import build_world
+
+    cfg_dict = yaml.safe_load(open(os.path.join(HERE, "config/egomimic/subject_03.yml")))
+    cfg = EgoMimicConfig(cfg_dict=cfg_dict,
+                         base_dir=os.path.join(HERE, "results"))
+    spec, model, tables, p, expert, cnn_feat = build_world(
+        cfg, jnp.float32, synthetic=True)
+    agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
+                     batch_lanes=LANES, seed=0, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    key, sub = jax.random.split(key)
+    _ = agent.sample(sub, min_batch_size=1)
+    t0 = time.time()
+    total = 0.0
+    for _ in range(SEGMENTS):
+        key, sub = jax.random.split(key)
+        batch, log = agent.sample(sub, min_batch_size=1)
+        total += float(np.asarray(batch.valids).sum())
+    dt = time.time() - t0
+    return total / dt
+
+
+def main():
+    tpu = measure_tpu()
+    base = get_baseline()
+    print(json.dumps({
+        "metric": "ppo_env_steps_per_sec",
+        "value": round(tpu, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(tpu / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

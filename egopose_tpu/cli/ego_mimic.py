@@ -1,0 +1,170 @@
+"""Ego-mimic (pose estimation) PPO training entry point.
+
+Mirrors /root/reference/ego_pose/ego_mimic.py: same flags, same config
+schema, same checkpoint naming (results/egomimic/<cfg>/models/iter_%04d.p),
+same per-iteration log line and adaptive-parameter schedule.  When the
+EgoPose dataset features are absent (``--synthetic``), trains against
+synthetic mocap so the full pipeline can run anywhere.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+
+def build_world(cfg, dtype, synthetic=False, synthetic_takes=4,
+                synthetic_len=400, model_xml=None):
+    """Load physics model + experts + cnn features for a config."""
+    import jax.numpy as jnp
+    from ..physics import parse_mjcf, build_model
+    from .. import envs
+    from ..utils.config import make_env_params
+
+    xml = model_xml or f"assets/mujoco_models/{cfg.mujoco_model}.xml"
+    if not os.path.exists(xml):
+        xml = os.path.join("/root/reference", xml)
+    spec = parse_mjcf(xml)
+    model = build_model(spec, dtype=dtype)
+    tables = envs.make_body_tables(spec)
+    # obs dim from config layout
+    obs_dim = (1 if cfg.obs_heading else 0) + (spec.nq - 2) \
+        + {"root": 6, "full": spec.ndof}.get(cfg.obs_vel, 0) \
+        + (1 if cfg.obs_phase else 0)
+    p = make_env_params(cfg, spec, obs_dim=obs_dim,
+                        dtype=np.float32 if dtype == jnp.float32 else np.float64)
+
+    if not synthetic and cfg.expert_feat_file and os.path.exists(cfg.expert_feat_file):
+        expert_dict = pickle.load(open(cfg.expert_feat_file, "rb"))
+        experts = [expert_dict[t] for t in cfg.takes["train"]]
+        expert = envs.stack_experts(experts)
+        cnn = pickle.load(open(cfg.cnn_feat_file, "rb"))
+        cnn_feat_dict = cnn[0] if isinstance(cnn, tuple) else cnn
+        feats = [np.asarray(cnn_feat_dict[t]) for t in cfg.takes["train"]]
+        tmax = int(expert.qpos.shape[1])
+        cnn_feat = np.zeros((len(feats), tmax, feats[0].shape[-1]), np.float32)
+        for i, f in enumerate(feats):
+            n = min(tmax, f.shape[0])
+            cnn_feat[i, :n] = f[:n]
+            cnn_feat[i, n:] = f[n - 1]
+    else:
+        expert = envs.synthetic_experts(model, p, tables, spec,
+                                        n_takes=synthetic_takes,
+                                        t_len=synthetic_len, seed=cfg.seed)
+        rng = np.random.RandomState(cfg.seed)
+        # synthetic "CNN features": noisy linear projection of expert obs
+        proj = rng.randn(expert.obs.shape[-1], 64).astype(np.float32) / 8
+        cnn_feat = np.einsum("etf,fc->etc", np.asarray(expert.obs, np.float32), proj)
+        cnn_feat += 0.1 * rng.randn(*cnn_feat.shape).astype(np.float32)
+    import jax
+    expert = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.float64)
+        else x, expert)
+    return spec, model, tables, p, expert, np.asarray(cnn_feat)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--render", action="store_true", default=False)
+    parser.add_argument("--num-threads", type=int, default=12,
+                        help="accepted for CLI parity; lanes come from --batch-lanes")
+    parser.add_argument("--gpu-index", type=int, default=0,
+                        help="accepted for CLI parity (device is the TPU)")
+    parser.add_argument("--iter", type=int, default=0)
+    parser.add_argument("--show-noise", action="store_true", default=False)
+    parser.add_argument("--batch-lanes", type=int, default=1024)
+    parser.add_argument("--max-iter", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true", default=False)
+    parser.add_argument("--f64", action="store_true", default=False)
+    parser.add_argument("--min-batch", type=int, default=None,
+                        help="override cfg.min_batch_size (debug)")
+    parser.add_argument("--episode-len", type=int, default=None,
+                        help="override cfg.env_episode_len (debug)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    dtype = jnp.float64 if args.f64 else jnp.float32
+
+    from ..utils.config import EgoMimicConfig
+    from ..utils.log import create_logger, ScalarWriter
+    from ..rl import AgentEgo
+
+    cfg = EgoMimicConfig(args.cfg, create_dirs=not (args.render or args.iter > 0))
+    if args.min_batch is not None:
+        cfg.min_batch_size = args.min_batch
+    if args.episode_len is not None:
+        cfg.env_episode_len = args.episode_len
+    np.random.seed(cfg.seed)
+    logger = create_logger(os.path.join(cfg.log_dir, "log.txt"),
+                           file_handle=not args.render)
+    tb = ScalarWriter(cfg.tb_dir) if not args.render else None
+
+    spec, model, tables, p, expert, cnn_feat = build_world(
+        cfg, dtype, synthetic=args.synthetic)
+    logger.info(f"devices: {jax.devices()}  lanes: {args.batch_lanes}  "
+                f"experts: {expert.qpos.shape}")
+
+    agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
+                     batch_lanes=args.batch_lanes, seed=cfg.seed, dtype=dtype)
+    if args.iter > 0:
+        cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+        logger.info("loading model from checkpoint: %s" % cp_path)
+        agent.load(cp_path)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    max_iter = args.max_iter if args.max_iter is not None else cfg.max_iter_num
+
+    for i_iter in range(args.iter, max_iter):
+        cfg.update_adaptive_params(i_iter)
+        agent.set_noise_rate(cfg.adp_noise_rate)
+        agent.set_policy_lr(cfg.adp_policy_lr)
+        if cfg.fix_std:
+            agent.fill_log_std(cfg.adp_log_std)
+
+        key, sub = jax.random.split(key)
+        batch, log = agent.sample(sub, cfg.min_batch_size,
+                                  mean_action=args.render and not args.show_noise)
+        agent.end_reward = log.avg_c_reward * cfg.gamma / (1 - cfg.gamma)
+
+        t0 = time.time()
+        metrics = agent.update_params(batch)
+        t_update = time.time() - t0
+
+        info_str = np.array2string(log.avg_c_info,
+                                   formatter={"all": lambda x: "%.4f" % x},
+                                   separator=",")
+        logger.info(
+            "{}\tT_sample {:.2f}\tT_update {:.2f}\tR_avg {:.4f} {}"
+            "\tR_range ({:.4f}, {:.4f})\teps_len_avg {:.2f}\tsteps/s {:.0f}"
+            .format(i_iter, log.sample_time, t_update, log.avg_c_reward,
+                    info_str, log.min_c_reward, log.max_c_reward,
+                    log.avg_episode_len, log.num_steps / max(log.sample_time, 1e-9)))
+        if tb:
+            tb.scalar("total_reward", log.avg_c_reward, i_iter)
+            tb.scalar("episode_len", log.avg_episode_len, i_iter)
+            tb.scalar("env_steps_per_sec", log.num_steps / max(log.sample_time, 1e-9), i_iter)
+            for i in range(log.avg_c_info.shape[0]):
+                tb.scalar(f"reward_{i}", log.avg_c_info[i], i_iter)
+
+        if cfg.save_model_interval > 0 and (i_iter + 1) % cfg.save_model_interval == 0:
+            cp_path = "%s/iter_%04d.p" % (cfg.model_dir, i_iter + 1)
+            agent.save(cp_path)
+            logger.info("saved checkpoint %s" % cp_path)
+
+    logger.info("training done!")
+    return agent
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Temporal convolutional network (mirrors /root/reference/models/tcn.py).
+
+Dilated residual conv blocks with weight normalization; ``causal`` selects
+asymmetric (left-only) padding like the reference's Chomp1d.  Layout is
+(batch, time, channels) -- the reference's NCL permutes
+(video_state_net.py:73-78) are layout choices, not semantics, and disappear.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TemporalBlock(nn.Module):
+    n_outputs: int
+    kernel_size: int
+    dilation: int
+    dropout: float
+    causal: bool
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        pad = (self.kernel_size - 1) * self.dilation
+        padding = [(pad, 0)] if self.causal else [(pad // 2, pad // 2)]
+        conv_init = nn.initializers.normal(0.01)  # tcn.py:42-46
+
+        def conv(name):
+            return nn.WeightNorm(nn.Conv(
+                self.n_outputs, (self.kernel_size,),
+                kernel_dilation=(self.dilation,), padding=padding,
+                kernel_init=conv_init, name=name))
+
+        out = nn.relu(conv("conv1")(x))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.relu(conv("conv2")(out))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if x.shape[-1] != self.n_outputs:
+            res = nn.Conv(self.n_outputs, (1,), kernel_init=conv_init,
+                          name="downsample")(x)
+        else:
+            res = x
+        return nn.relu(out + res)
+
+
+class TemporalConvNet(nn.Module):
+    """Stack of TemporalBlocks with dilation 2^i (tcn.py:54-70)."""
+    num_channels: Sequence[int]
+    kernel_size: int = 3
+    dropout: float = 0.2
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        assert self.kernel_size % 2 == 1
+        for i, ch in enumerate(self.num_channels):
+            x = TemporalBlock(ch, self.kernel_size, 2 ** i, self.dropout,
+                              self.causal, name=f"block{i}")(x, deterministic)
+        return x

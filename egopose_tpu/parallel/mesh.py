@@ -1,0 +1,42 @@
+"""Device-mesh runtime: the framework's distributed backend.
+
+The reference's only parallelism is a fork-based CPU worker pool
+(/root/reference/agents/agent.py:93-105).  Here rollout lanes and update
+batches are data-parallel across a ``jax.sharding.Mesh``: lane-batched arrays
+are sharded on the batch axis, parameters are replicated, and XLA inserts the
+ICI collectives (psum for loss/stat reductions) under jit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, tree, axis_index: int = 0, axis: str = "data"):
+    """Shard every leaf of a lane-batched pytree along its batch axis."""
+    def put(x):
+        spec = [None] * x.ndim
+        spec[axis_index] = axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def lane_sharding(mesh: Mesh, ndim: int, axis_index: int = 0,
+                  axis: str = "data") -> NamedSharding:
+    spec = [None] * ndim
+    spec[axis_index] = axis
+    return NamedSharding(mesh, P(*spec))

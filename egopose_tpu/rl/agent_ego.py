@@ -1,0 +1,204 @@
+"""AgentEgo: orchestrates video-conditioned PPO (sampling + updates).
+
+The TPU-native counterpart of /root/reference/ego_pose/core/agent_ego.py +
+agents/agent_ppo.py: one jitted batched sampler (replacing the fork-based
+worker pool) and one jitted multi-epoch PPO update, with the video context
+nets threaded through both exactly like trans_policy/trans_value.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import envs
+from ..models.video_state_net import VideoStateNet
+from ..ops import running_norm
+from . import ppo, rollout
+from .nets import PolicyGaussian, Value
+
+
+class SampleLog(NamedTuple):
+    num_steps: float
+    num_episodes: float
+    avg_episode_len: float
+    avg_c_reward: float
+    min_c_reward: float
+    max_c_reward: float
+    avg_c_info: np.ndarray
+    fail_rate: float
+    sample_time: float = 0.0
+
+
+class AgentEgo:
+    """Host-side orchestrator holding params, optimizers and jitted fns."""
+
+    def __init__(self, model, spec, params: envs.EnvParams, tables,
+                 expert: envs.ExpertBatch, cnn_feat, cfg, batch_lanes=1024,
+                 seed=1, dtype=jnp.float32):
+        self.model, self.spec, self.p, self.tables = model, spec, params, tables
+        self.expert, self.cnn_feat = expert, jnp.asarray(cnn_feat, dtype)
+        self.cfg = cfg
+        self.batch_lanes = batch_lanes
+        self.end_reward = 0.0
+        self.noise_rate = 1.0
+        cnn_fdim = int(self.cnn_feat.shape[-1])
+        obs_dim = params.obs_dim
+
+        self.policy_net = PolicyGaussian(
+            action_dim=spec.nu, hidden_dims=tuple(cfg.policy_hsize),
+            activation=cfg.policy_htype, log_std_init=cfg.log_std,
+            fix_std=cfg.fix_std)
+        self.value_net = Value(hidden_dims=tuple(cfg.value_hsize),
+                               activation=cfg.value_htype)
+        self.policy_vs_net = VideoStateNet(
+            cnn_fdim, cfg.policy_v_hdim, cfg.fr_margin, cfg.policy_v_net,
+            cfg.policy_v_net_param, cfg.causal)
+        self.value_vs_net = VideoStateNet(
+            cnn_fdim, cfg.value_v_hdim, cfg.fr_margin, cfg.value_v_net,
+            cfg.value_v_net_param, cfg.causal)
+
+        k = jax.random.PRNGKey(seed)
+        kp, kv, kpv, kvv = jax.random.split(k, 4)
+        dummy_win = jnp.zeros((1, params.env_episode_len + 2 * cfg.fr_margin,
+                               cnn_fdim), dtype)
+        p_pvs = self.policy_vs_net.init(kpv, dummy_win)
+        p_vvs = self.value_vs_net.init(kvv, dummy_win)
+        p_pol = self.policy_net.init(
+            kp, jnp.zeros((1, obs_dim + cfg.policy_v_hdim), dtype))
+        p_val = self.value_net.init(
+            kv, jnp.zeros((1, obs_dim + cfg.value_v_hdim), dtype))
+
+        self.opt_p, self.opt_v = ppo.make_optimizers(
+            cfg.policy_lr, cfg.value_lr, grad_clip=40.0,
+            policy_weight_decay=cfg.policy_weightdecay,
+            value_weight_decay=cfg.value_weightdecay)
+        self.train_state = ppo.TrainState(
+            policy=p_pol, policy_vs=p_pvs, value=p_val, value_vs=p_vvs,
+            opt_policy=self.opt_p.init((p_pol, p_pvs)),
+            opt_value=self.opt_v.init((p_val, p_vvs)))
+        self.zstat = running_norm.init_stat(obs_dim, dtype)
+        self.hyper = ppo.PPOHyper(gamma=cfg.gamma, tau=cfg.tau,
+                                  clip_epsilon=cfg.clip_epsilon,
+                                  num_epochs=cfg.num_optim_epoch)
+
+        policy_apply = lambda p, x: self.policy_net.apply(p, x)
+        value_apply = lambda p, x: self.value_net.apply(p, x)
+        pvs_apply = lambda p, w: self.policy_vs_net.apply(p, w)
+        vvs_apply = lambda p, w: self.value_vs_net.apply(p, w)
+        self._applies = (policy_apply, pvs_apply, value_apply, vvs_apply)
+
+        def sample_fn(p_pol, p_pvs, zstat, key, noise_rate, mean_action,
+                      end_reward):
+            return rollout.rollout_segment(
+                model, params, tables, expert, self.cnn_feat,
+                policy_apply, p_pol, pvs_apply, p_pvs, zstat, key,
+                batch_lanes, noise_rate, mean_action, end_reward)
+
+        self._sample_fn = jax.jit(sample_fn, static_argnames=("mean_action",))
+
+        def update_fn(ts, batch, windows):
+            return ppo.ppo_update(ts, self.opt_p, self.opt_v, self.hyper,
+                                  batch, windows, policy_apply, pvs_apply,
+                                  value_apply, vvs_apply)
+
+        self._update_fn = jax.jit(update_fn)
+
+    # -- reference pre_iter_update hooks (ego_mimic.py:93-99) ---------------
+    def set_noise_rate(self, r):
+        self.noise_rate = float(r)
+
+    def set_policy_lr(self, lr):
+        self.train_state.opt_policy.hyperparams["learning_rate"] = jnp.asarray(lr)
+
+    def fill_log_std(self, log_std):
+        pol = self.train_state.policy
+        pol = jax.tree_util.tree_map(lambda x: x, pol)  # shallow copy
+        pol["params"]["action_log_std"] = jnp.full_like(
+            pol["params"]["action_log_std"], log_std)
+        self.train_state = self.train_state._replace(policy=pol)
+
+    # -- sampling ------------------------------------------------------------
+    def sample(self, key, min_batch_size, mean_action=False):
+        import time
+        t0 = time.time()
+        per_seg = self.batch_lanes * self.p.env_episode_len
+        n_seg = max(1, int(np.ceil(min_batch_size / per_seg)))
+        segs = []
+        for i in range(n_seg):
+            key, sub = jax.random.split(key)
+            seg, self.zstat = self._sample_fn(
+                self.train_state.policy, self.train_state.policy_vs,
+                self.zstat, sub, self.noise_rate, mean_action,
+                self.end_reward)
+            segs.append(seg)
+        batch = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=1 if xs[0].ndim > 1 else 0),
+            *segs) if n_seg > 1 else segs[0]
+        log = self._make_log(batch, time.time() - t0)
+        return batch, log
+
+    def _make_log(self, batch, dt):
+        valid = np.asarray(batch.valids)
+        rewards = np.asarray(batch.rewards)
+        n_steps = valid.sum()
+        # every lane is one episode plus one more per mid-segment re-anchor
+        n_eps = valid.shape[1] + (np.asarray(batch.fails) * valid).sum()
+        vsum = max(n_steps, 1.0)
+        avg_c = float((rewards * valid).sum() / vsum)
+        rv = rewards[valid > 0]
+        info = np.asarray(batch.reward_info)
+        avg_info = (info * valid[..., None]).sum((0, 1)) / vsum
+        return SampleLog(
+            num_steps=float(n_steps), num_episodes=float(n_eps),
+            avg_episode_len=float(n_steps / n_eps),
+            avg_c_reward=avg_c,
+            min_c_reward=float(rv.min()) if rv.size else 0.0,
+            max_c_reward=float(rv.max()) if rv.size else 0.0,
+            avg_c_info=avg_info,
+            fail_rate=float((np.asarray(batch.fails) * valid).sum() / n_eps),
+            sample_time=dt)
+
+    # -- update ---------------------------------------------------------------
+    def update_params(self, batch):
+        windows = rollout.gather_windows(
+            self.cnn_feat, batch.expert_ind, batch.start_ind,
+            self.p.fr_margin, self.p.env_episode_len)
+        self.train_state, metrics = self._update_fn(self.train_state, batch,
+                                                    windows)
+        return {k: float(v) for k, v in metrics.items()}
+
+    # -- checkpointing (pickle, mirroring the reference's naming) ------------
+    def checkpoint(self):
+        ts = self.train_state
+        return {
+            "policy_dict": jax.device_get(ts.policy),
+            "policy_vs_dict": jax.device_get(ts.policy_vs),
+            "value_dict": jax.device_get(ts.value),
+            "value_vs_dict": jax.device_get(ts.value_vs),
+            "running_state": jax.device_get(self.zstat),
+        }
+
+    def save(self, path):
+        with open(path, "wb") as f:
+            pickle.dump(self.checkpoint(), f)
+
+    def load(self, path):
+        with open(path, "rb") as f:
+            cp = pickle.load(f)
+        self.load_checkpoint(cp)
+
+    def load_checkpoint(self, cp):
+        ts = self.train_state
+        self.train_state = ts._replace(
+            policy=jax.device_put(cp["policy_dict"]),
+            policy_vs=jax.device_put(cp["policy_vs_dict"]),
+            value=jax.device_put(cp["value_dict"]),
+            value_vs=jax.device_put(cp["value_vs_dict"]))
+        rs = cp["running_state"]
+        self.zstat = running_norm.RunningStat(
+            n=jnp.asarray(rs.n), mean=jnp.asarray(rs.mean),
+            s=jnp.asarray(rs.s))

@@ -1,0 +1,135 @@
+"""PPO update (mirrors /root/reference/agents/agent_ppo.py + agent_pg.py +
+ego_pose/core/agent_ego.py update path) as one jitted multi-epoch step.
+
+Semantics mirrored exactly:
+- values/advantages computed once with pre-update parameters (agent_pg.py:48-53)
+- GAE with gamma/tau, advantages normalized over real steps (core/common.py)
+- per-epoch: critic MSE step, then clipped-surrogate policy step over
+  exploration rows only (exps nonzero; agent_ppo.py:37,45)
+- fixed log-probs from pre-update policy (agent_ppo.py:18-20)
+- policy gradient clipped by global norm 40 (ego_mimic.py:90)
+- the video-context nets are re-run inside the loss so their parameters
+  receive gradients (agent_ego.py:44-50)
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.gae import estimate_advantages
+from .distributions import diag_gaussian_log_prob
+from .rollout import SegmentBatch, gather_windows
+
+
+class PPOHyper(NamedTuple):
+    gamma: float = 0.95
+    tau: float = 0.95
+    clip_epsilon: float = 0.2
+    num_epochs: int = 10
+    value_opt_niter: int = 1
+    grad_clip: float = 40.0
+
+
+class TrainState(NamedTuple):
+    policy: Any
+    policy_vs: Any
+    value: Any
+    value_vs: Any
+    opt_policy: Any
+    opt_value: Any
+
+
+def make_optimizers(policy_lr, value_lr, grad_clip=40.0,
+                    policy_weight_decay=0.0, value_weight_decay=0.0):
+    opt_p = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(learning_rate, weight_decay=policy_weight_decay)
+            if policy_weight_decay else optax.adam(learning_rate),
+        ))(learning_rate=policy_lr)
+    opt_v = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.adamw(learning_rate, weight_decay=value_weight_decay)
+            if value_weight_decay else optax.adam(learning_rate),
+        ))(learning_rate=value_lr)
+    return opt_p, opt_v
+
+
+def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
+               batch: SegmentBatch, windows: jax.Array,
+               policy_apply: Callable, policy_vs_apply: Callable,
+               value_apply: Callable, value_vs_apply: Callable):
+    """Run num_epochs PPO epochs on one sampled batch.
+
+    batch arrays are time-major (T, B, ...); windows (B, W, feat).
+    Returns (new TrainState, metrics dict).
+    """
+    t_len, bsz = batch.rewards.shape
+    valid = batch.valids
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+
+    def policy_logprob(p_policy, p_vs, actions):
+        v_ctx = policy_vs_apply(p_vs, windows)           # (B,T,vh)
+        pin = jnp.concatenate([v_ctx.transpose(1, 0, 2), batch.states], -1)
+        mean, log_std = policy_apply(p_policy, pin)
+        return diag_gaussian_log_prob(actions, mean, log_std)
+
+    def values_of(p_value, p_vs):
+        v_ctx = value_vs_apply(p_vs, windows)
+        vin = jnp.concatenate([v_ctx.transpose(1, 0, 2), batch.states], -1)
+        return value_apply(p_value, vin)                 # (T,B)
+
+    # pre-update quantities
+    fixed_log_probs = jax.lax.stop_gradient(
+        policy_logprob(ts.policy, ts.policy_vs, batch.actions))
+    values = jax.lax.stop_gradient(values_of(ts.value, ts.value_vs))
+    advantages, returns = estimate_advantages(
+        batch.rewards, batch.masks, values, hyper.gamma, hyper.tau,
+        valid=valid)
+    advantages = jax.lax.stop_gradient(advantages)
+    returns = jax.lax.stop_gradient(returns)
+
+    exp_w = batch.exps * valid
+    n_exp = jnp.maximum(exp_w.sum(), 1.0)
+
+    def value_loss_fn(params):
+        p_value, p_vs = params
+        v = values_of(p_value, p_vs)
+        return jnp.sum(((v - returns) ** 2) * valid) / n_valid
+
+    def policy_loss_fn(params):
+        p_policy, p_vs = params
+        log_probs = policy_logprob(p_policy, p_vs, batch.actions)
+        ratio = jnp.exp(log_probs - fixed_log_probs)
+        surr1 = ratio * advantages
+        surr2 = jnp.clip(ratio, 1.0 - hyper.clip_epsilon,
+                         1.0 + hyper.clip_epsilon) * advantages
+        return -jnp.sum(jnp.minimum(surr1, surr2) * exp_w) / n_exp
+
+    def epoch(carry, _):
+        ts = carry
+        # critic step(s)
+        vparams = (ts.value, ts.value_vs)
+        ovs = ts.opt_value
+        for _ in range(hyper.value_opt_niter):
+            vloss, vgrad = jax.value_and_grad(value_loss_fn)(vparams)
+            upd, ovs = opt_v.update(vgrad, ovs, vparams)
+            vparams = optax.apply_updates(vparams, upd)
+        # policy step
+        pparams = (ts.policy, ts.policy_vs)
+        ploss, pgrad = jax.value_and_grad(policy_loss_fn)(pparams)
+        upd, ops_ = opt_p.update(pgrad, ts.opt_policy, pparams)
+        pparams = optax.apply_updates(pparams, upd)
+        ts = TrainState(policy=pparams[0], policy_vs=pparams[1],
+                        value=vparams[0], value_vs=vparams[1],
+                        opt_policy=ops_, opt_value=ovs)
+        return ts, (ploss, vloss)
+
+    ts, (plosses, vlosses) = jax.lax.scan(epoch, ts, None,
+                                          length=hyper.num_epochs)
+    metrics = {"policy_loss": plosses[-1], "value_loss": vlosses[-1],
+               "n_valid": n_valid, "n_exp": n_exp}
+    return ts, metrics
