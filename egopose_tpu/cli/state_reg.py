@@ -1,0 +1,265 @@
+"""State-regression training/eval entry point (mirrors
+/root/reference/ego_pose/state_reg.py: modes train / test / save_inf, same
+checkpoint + results naming)."""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def get_traj_from_state_pred(state_pred, init_pos, init_heading, dt, traj_dim):
+    """Integrate predicted kinematic states into a qpos trajectory
+    (state_reg.py:103-122)."""
+    import jax.numpy as jnp
+    from ..ops import quat as Q
+    from ..ops import math_utils as M
+
+    nv = (traj_dim + 1) // 2
+    nq = nv + 1
+    pos = np.array(init_pos, dtype=float)
+    heading = np.array(init_heading, dtype=float)
+    traj_pred = []
+    for i in range(state_pred.shape[0]):
+        qpos = np.concatenate([pos, state_pred[i, :nq - 2]])
+        qvel = state_pred[i, nq - 2:]
+        qpos[3:7] = np.asarray(Q.quat_mul(jnp.asarray(heading),
+                                          jnp.asarray(qpos[3:7])))
+        linv = np.asarray(Q.quat_rotate(jnp.asarray(heading),
+                                        jnp.asarray(qvel[:3])))
+        angv = np.asarray(Q.quat_rotate(jnp.asarray(qpos[3:7]),
+                                        jnp.asarray(qvel[3:6])))
+        pos = pos + linv[:2] * dt
+        new_q = np.asarray(Q.quat_mul(Q.quat_from_expmap(jnp.asarray(angv * dt)),
+                                      jnp.asarray(qpos[3:7])))
+        heading = np.asarray(M.get_heading_q(jnp.asarray(new_q)))
+        traj_pred.append(qpos)
+    return np.vstack(traj_pred)
+
+
+def prepare_of(of_np, fr_num, dtype):
+    """2-channel optical flow -> padded 3-channel frames, time-major,
+    padded to fr_num frames (mask returned).  fr_num must be the max chunk
+    size: the dataset's final take chunk can reach cfg.fr_num + 30 frames
+    (statereg_dataset.py:98)."""
+    t = of_np.shape[0]
+    of = np.concatenate([of_np, np.zeros(of_np.shape[:-1] + (1,),
+                                         of_np.dtype)], axis=-1)
+    if t < fr_num:
+        pad = np.repeat(of[-1:], fr_num - t, axis=0)
+        of = np.concatenate([of, pad], axis=0)
+    mask = np.zeros(fr_num, dtype)
+    mask[:t] = 1.0
+    return of[:, None].astype(dtype), mask  # (T, 1, H, W, 3)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--mode", default="train")
+    parser.add_argument("--data", default=None)
+    parser.add_argument("--test-feat", default=None)
+    parser.add_argument("--gpu-index", type=int, default=0)
+    parser.add_argument("--iter", type=int, default=0)
+    parser.add_argument("--synthetic", action="store_true", default=False)
+    parser.add_argument("--max-epoch", type=int, default=None)
+    args = parser.parse_args(argv)
+    if args.data is None:
+        args.data = args.mode if args.mode in {"train", "test"} else "train"
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+
+    from ..data.dataset import Dataset
+    from ..models.video_reg_net import VideoRegNet
+    from ..utils.config import StateRegConfig
+    from ..utils.log import create_logger, ScalarWriter
+
+    cfg = StateRegConfig(args.cfg, create_dirs=(args.iter == 0))
+    np.random.seed(cfg.seed)
+    logger = create_logger(os.path.join(cfg.log_dir, "log.txt"))
+    tb = ScalarWriter(cfg.tb_dir)
+    dtype = np.float32
+
+    dataset = Dataset(cfg.meta_id, args.data, cfg.fr_num, cfg.iter_method,
+                      cfg.shuffle, 2 * cfg.fr_margin,
+                      synthetic=args.synthetic, seed=cfg.seed)
+    state_dim = (dataset.traj_dim - 1) // 2 + 6 if cfg.pose_only \
+        else dataset.traj_dim
+    no_cnn = (args.mode == "save_inf" or args.test_feat is not None)
+    frame_shape = dataset.load_of(0, 0, 1).shape[1:3] + (3,) \
+        if not no_cnn else (224, 224, 3)
+    net = VideoRegNet(state_dim, cfg.v_hdim, cfg.cnn_fdim, no_cnn=no_cnn,
+                      frame_shape=frame_shape, mlp_dim=tuple(cfg.mlp_dim),
+                      cnn_type=cfg.cnn_type, v_net_type=cfg.v_net,
+                      v_net_param=cfg.v_net_param, causal=cfg.causal)
+    key = jax.random.PRNGKey(cfg.seed)
+    if no_cnn:
+        dummy = jnp.zeros((cfg.fr_num, 1, cfg.cnn_fdim), jnp.float32)
+    else:
+        dummy = jnp.zeros((2, 1) + frame_shape, jnp.float32)
+    variables = net.init(key, dummy, train=False)
+
+    if args.iter > 0:
+        cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+        logger.info("loading model from checkpoint: %s" % cp_path)
+        model_cp, meta = pickle.load(open(cp_path, "rb"))
+        if args.data != "train":
+            dataset.set_mean_std(meta["mean"], meta["std"])
+        loaded = model_cp["state_net_dict"]
+        if no_cnn:  # drop CNN params (reference strict=False load)
+            for coll in loaded:
+                loaded[coll] = {k: v for k, v in loaded[coll].items()
+                                if not k.startswith("cnn")}
+            merged = jax.tree_util.tree_map(lambda x: x, variables)
+            for coll in loaded:
+                merged[coll].update(loaded[coll])
+            variables = merged
+        else:
+            variables = loaded
+    fr_margin = cfg.fr_margin
+    chunk_max = cfg.fr_num + 30
+
+    if args.mode == "train":
+        tx = optax.adam(cfg.lr)
+        opt_state = tx.init(variables["params"])
+
+        @jax.jit
+        def train_step(variables, opt_state, of, gt, mask):
+            def loss_fn(params):
+                vs = {**variables, "params": params}
+                pred, updates = net.apply(
+                    vs, of, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+                pred = pred[fr_margin:-fr_margin, 0]
+                err = ((gt - pred) ** 2 * mask[:, None]).sum(-1)
+                return err.sum() / jnp.maximum(mask.sum(), 1.0), updates
+            (loss, updates), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(variables["params"])
+            upd, opt_state = tx.update(grads, opt_state, variables["params"])
+            params = optax.apply_updates(variables["params"], upd)
+            new_vars = {**variables, "params": params, **updates}
+            return new_vars, opt_state, loss
+
+        max_epoch = args.max_epoch or cfg.num_epoch
+        for i_epoch in range(args.iter, max_epoch):
+            t0 = time.time()
+            n_sample, ep_loss = 0, 0.0
+            for of_np, traj_np, _ in dataset:
+                num = traj_np.shape[0] - 2 * fr_margin
+                if num <= 0:
+                    continue
+                of, _ = prepare_of(of_np, chunk_max, dtype)
+                gt = np.zeros((chunk_max - 2 * fr_margin, state_dim), dtype)
+                gt[:num] = traj_np[fr_margin:-fr_margin, :state_dim]
+                mask = np.zeros(chunk_max - 2 * fr_margin, dtype)
+                mask[:num] = 1.0
+                variables, opt_state, loss = train_step(
+                    variables, opt_state, jnp.asarray(of), jnp.asarray(gt),
+                    jnp.asarray(mask))
+                ep_loss += float(loss) * num
+                n_sample += num
+            ep_loss /= max(n_sample, 1)
+            logger.info("epoch {:4d}    time {:.2f}     nsample {}   loss {:.4f}"
+                        .format(i_epoch, time.time() - t0, n_sample, ep_loss))
+            tb.scalar("loss", ep_loss, i_epoch)
+            if cfg.save_model_interval > 0 and \
+                    (i_epoch + 1) % cfg.save_model_interval == 0:
+                cp_path = "%s/iter_%04d.p" % (cfg.model_dir, i_epoch + 1)
+                model_cp = {"state_net_dict": jax.device_get(variables)}
+                meta = {"mean": dataset.mean, "std": dataset.std}
+                pickle.dump((model_cp, meta), open(cp_path, "wb"))
+        return variables, dataset
+
+    elif args.mode == "test":
+        dataset.iter_method = "iter"
+        dataset.shuffle = False
+
+        @jax.jit
+        def fwd(variables, of):
+            return net.apply(variables, of, train=False)[:, 0]
+
+        n_sample, ep_loss = 0, 0.0
+        res_pred, res_orig, meta = {}, {}, {}
+        if args.test_feat is None:
+            state_pred_arr, traj_orig_arr = [], []
+            take = dataset.takes[0]
+            dataset.__iter__()
+            while True:
+                try:
+                    of_np, traj_np, traj_orig_np = dataset.__next__()
+                except StopIteration:
+                    break
+                num = traj_np.shape[0] - 2 * fr_margin
+                if num <= 0:
+                    continue
+                of, mask = prepare_of(of_np, chunk_max, dtype)
+                pred = np.asarray(fwd(variables, jnp.asarray(of)))
+                pred = pred[fr_margin:fr_margin + num]
+                gt = traj_np[fr_margin:-fr_margin, :state_dim]
+                ep_loss += float(((gt - pred) ** 2).sum(-1).mean()) * num
+                n_sample += num
+                pred = pred * dataset.std[None, :state_dim] \
+                    + dataset.mean[None, :state_dim]
+                state_pred_arr.append(pred)
+                traj_orig_arr.append(traj_orig_np[fr_margin:-fr_margin])
+                if dataset.cur_ind >= len(dataset.takes) or \
+                        dataset.takes[dataset.cur_tid] != take:
+                    sp = np.vstack(state_pred_arr)
+                    to = np.vstack(traj_orig_arr)
+                    from ..ops import math_utils as M
+                    import jax.numpy as jnp2
+                    init_heading = np.asarray(
+                        M.get_heading_q(jnp2.asarray(to[0, 3:7])))
+                    res_pred[take] = get_traj_from_state_pred(
+                        sp, to[0, :2], init_heading, dataset.dt,
+                        dataset.traj_dim)
+                    res_orig[take] = to
+                    state_pred_arr, traj_orig_arr = [], []
+                    if dataset.cur_ind < len(dataset.takes):
+                        take = dataset.takes[dataset.cur_tid]
+            ep_loss /= max(n_sample, 1)
+            results = {"traj_pred": res_pred, "traj_orig": res_orig}
+            res_path = "%s/iter_%04d_%s.p" % (cfg.result_dir, args.iter,
+                                              args.data)
+        else:
+            cnn_feat_file = "%s/features/cnn_feat_%s.p" % (
+                dataset.base_folder, args.test_feat)
+            cnn_feat_dict, _ = pickle.load(open(cnn_feat_file, "rb"))
+            import jax.numpy as jnp2
+            for take, cnn_feat in cnn_feat_dict.items():
+                pred = np.asarray(net.apply(
+                    variables, jnp2.asarray(cnn_feat)[:, None], train=False))
+                pred = pred[cfg.fr_margin:-cfg.fr_margin, 0]
+                pred = pred * dataset.std[None, :state_dim] \
+                    + dataset.mean[None, :state_dim]
+                res_pred[take] = get_traj_from_state_pred(
+                    pred, np.zeros(2), np.array([1.0, 0, 0, 0]), dataset.dt,
+                    dataset.traj_dim)
+                n_sample += pred.shape[0]
+            results = {"traj_pred": res_pred}
+            res_path = "%s/iter_%04d_%s.p" % (cfg.result_dir, args.iter,
+                                              args.test_feat)
+        meta.update({"algo": "state_reg", "num_sample": n_sample,
+                     "epoch_loss": ep_loss})
+        pickle.dump((results, meta), open(res_path, "wb"))
+        logger.info("nsample {}   loss {:.4f}".format(n_sample, ep_loss))
+        logger.info("saved results to %s" % res_path)
+        return results
+
+    elif args.mode == "save_inf":
+        cp_path = "%s/iter_%04d_inf.p" % (cfg.model_dir, args.iter)
+        model_cp = {"state_net_dict": jax.device_get(variables)}
+        meta = {"mean": dataset.mean, "std": dataset.std, "cfg_id": cfg.id}
+        pickle.dump((model_cp, meta), open(cp_path, "wb"))
+        logger.info("saved inference model to %s" % cp_path)
+
+
+if __name__ == "__main__":
+    main()
