@@ -1,0 +1,123 @@
+"""Ego-forecast PPO training entry point (mirrors
+/root/reference/ego_pose/ego_forecast.py): same flags, warm start from an
+ego-mimic checkpoint, adaptive init-noise schedule, end-reward flag."""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--render", action="store_true", default=False)
+    parser.add_argument("--num-threads", type=int, default=12)
+    parser.add_argument("--gpu-index", type=int, default=0)
+    parser.add_argument("--iter", type=int, default=0)
+    parser.add_argument("--show-noise", action="store_true", default=False)
+    parser.add_argument("--batch-lanes", type=int, default=1024)
+    parser.add_argument("--max-iter", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true", default=False)
+    parser.add_argument("--f64", action="store_true", default=False)
+    parser.add_argument("--min-batch", type=int, default=None)
+    parser.add_argument("--episode-len", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    dtype = jnp.float64 if args.f64 else jnp.float32
+
+    from ..utils.config import EgoForecastConfig, EgoMimicConfig
+    from ..utils.log import create_logger, ScalarWriter
+    from ..rl.agent_forecast import make_forecast_agent, warmstart_from_mimic
+    from .ego_mimic import build_world
+
+    cfg = EgoForecastConfig(args.cfg,
+                            create_dirs=not (args.render or args.iter > 0))
+    if args.min_batch is not None:
+        cfg.min_batch_size = args.min_batch
+    if args.episode_len is not None:
+        cfg.env_episode_len = args.episode_len
+    np.random.seed(cfg.seed)
+    logger = create_logger(os.path.join(cfg.log_dir, "log.txt"),
+                           file_handle=not args.render)
+    tb = ScalarWriter(cfg.tb_dir) if not args.render else None
+
+    spec, model, tables, p, expert, cnn_feat = build_world(
+        cfg, dtype, synthetic=args.synthetic)
+    agent = make_forecast_agent(model, spec, p, tables, expert, cnn_feat,
+                                cfg, batch_lanes=args.batch_lanes,
+                                seed=cfg.seed, dtype=dtype)
+
+    if args.iter > 0:
+        cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+        logger.info("loading model from checkpoint: %s" % cp_path)
+        agent.load(cp_path)
+    elif cfg.ego_mimic_cfg is not None:
+        em_cfg_path = "results/egomimic/%s/models/iter_%04d.p" % (
+            cfg.ego_mimic_cfg, cfg.ego_mimic_iter or 0)
+        if os.path.exists(em_cfg_path):
+            logger.info("warm start from ego mimic checkpoint: %s" % em_cfg_path)
+            mimic_cp = pickle.load(open(em_cfg_path, "rb"))
+            agent.train_state = warmstart_from_mimic(agent.train_state,
+                                                     mimic_cp)
+        else:
+            logger.info("no ego mimic checkpoint at %s, cold start" % em_cfg_path)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    max_iter = args.max_iter if args.max_iter is not None else cfg.max_iter_num
+    base_p = p
+
+    for i_iter in range(args.iter, max_iter):
+        cfg.update_adaptive_params(i_iter)
+        agent.set_noise_rate(cfg.adp_noise_rate)
+        agent.set_policy_lr(cfg.adp_policy_lr)
+        if cfg.fix_std:
+            agent.fill_log_std(cfg.adp_log_std)
+        # adaptive episode init noise (egoforecast_config.py:90-91)
+        agent.p = dataclasses.replace(
+            base_p, env_init_noise=jnp.asarray(cfg.adp_init_noise,
+                                               base_p.env_init_noise.dtype))
+
+        key, sub = jax.random.split(key)
+        batch, log = agent.sample(sub, cfg.min_batch_size,
+                                  mean_action=args.render and not args.show_noise)
+        if cfg.end_reward:
+            agent.end_reward = log.avg_c_reward * cfg.gamma / (1 - cfg.gamma)
+
+        t0 = time.time()
+        metrics = agent.update_params(batch)
+        t_update = time.time() - t0
+
+        info_str = np.array2string(log.avg_c_info,
+                                   formatter={"all": lambda x: "%.4f" % x},
+                                   separator=",")
+        logger.info(
+            "{}\tT_sample {:.2f}\tT_update {:.2f}\tR_avg {:.4f} {}"
+            "\tR_range ({:.4f}, {:.4f})\teps_len_avg {:.2f}"
+            .format(i_iter, log.sample_time, t_update, log.avg_c_reward,
+                    info_str, log.min_c_reward, log.max_c_reward,
+                    log.avg_episode_len))
+        if tb:
+            tb.scalar("total_reward", log.avg_c_reward, i_iter)
+            tb.scalar("episode_len", log.avg_episode_len, i_iter)
+
+        if cfg.save_model_interval > 0 and \
+                (i_iter + 1) % cfg.save_model_interval == 0:
+            agent.save("%s/iter_%04d.p" % (cfg.model_dir, i_iter + 1))
+
+    logger.info("training done!")
+    return agent
+
+
+if __name__ == "__main__":
+    main()

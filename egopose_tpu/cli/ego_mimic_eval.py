@@ -1,0 +1,210 @@
+"""Ego-mimic evaluation (mirrors /root/reference/ego_pose/ego_mimic_eval.py).
+
+The product inference path: roll the trained policy (mean actions) through
+each test take, with the value-based fail-safe re-anchoring the sim to the
+state-regression prediction when the critic detects failure
+(ego_mimic_eval.py:167-172).  TPU-native design: all takes evaluate
+simultaneously as one vmapped lax.scan (lane = take), instead of a per-take
+python loop.
+
+Results pickle matches the reference: {traj_pred, traj_orig, vel_pred} dicts
+keyed by take + meta num_reset, saved to
+results/egomimic/<cfg>/results/iter_%04d_<data>[_naivefs].p
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def kinematic_state_pred(expert, take_idx, margin):
+    """Fallback statereg prediction = ground-truth kinematic state in the
+    statereg layout (de-headed qpos[2:] ++ heading-frame qvel).  Used when no
+    trained state net is available; with one, its predictions replace this."""
+    import jax.numpy as jnp
+    from ..ops import math_utils as M
+    qpos = np.asarray(expert.qpos[take_idx])
+    qvel_fd = np.asarray(M.get_qvel_fd(jnp.asarray(qpos[:-1]),
+                                       jnp.asarray(qpos[1:]), 1 / 30.0,
+                                       "heading"))
+    qvel_fd = np.vstack([qvel_fd, qvel_fd[-1:]])
+    deheaded = np.asarray(M.de_heading(jnp.asarray(qpos[:, 3:7])))
+    pos = np.hstack([qpos[:, 2:3], deheaded, qpos[:, 7:]])
+    return np.hstack([pos, qvel_fd])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--render", action="store_true", default=False)
+    parser.add_argument("--iter", type=int, default=0)
+    parser.add_argument("--expert-ind", type=int, default=-1)
+    parser.add_argument("--sync", action="store_true", default=False)
+    parser.add_argument("--causal", action="store_true", default=False)
+    parser.add_argument("--data", default="test")
+    parser.add_argument("--show-noise", action="store_true", default=False)
+    parser.add_argument("--fail-safe", default="valuefs",
+                        choices=["valuefs", "naivefs", "nofs"])
+    parser.add_argument("--synthetic", action="store_true", default=False)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    dtype = jnp.float32
+
+    from .. import envs
+    from ..ops import math_utils as M
+    from ..ops import quat as Q
+    from ..ops import running_norm
+    from ..rl import AgentEgo, rollout
+    from ..utils.config import EgoMimicConfig
+    from ..utils.log import create_logger
+    from .ego_mimic import build_world
+
+    cfg = EgoMimicConfig(args.cfg, create_dirs=False)
+    logger = create_logger(os.path.join(cfg.log_dir, "log_eval.txt"))
+    np.random.seed(cfg.seed)
+
+    spec, model, tables, p, expert, cnn_feat = build_world(
+        cfg, dtype, synthetic=args.synthetic)
+    agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
+                     batch_lanes=1, seed=cfg.seed, dtype=dtype)
+    cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+    if os.path.exists(cp_path):
+        logger.info("loading policy net from checkpoint: %s" % cp_path)
+        agent.load(cp_path)
+    else:
+        logger.info("no checkpoint at %s -- evaluating untrained policy" % cp_path)
+
+    takes = cfg.takes[args.data] if cfg.takes[args.data] else \
+        [f"take_{i}" for i in range(expert.qpos.shape[0])]
+    n_takes = expert.qpos.shape[0]
+    m = cfg.fr_margin
+    lens = np.asarray(expert.lens)
+    test_lens = lens - 2 * m
+    t_max = int(test_lens.max())
+
+    # state-regression predictions (fallback: GT kinematics)
+    state_preds = np.stack([
+        np.pad(kinematic_state_pred(expert, i, m), ((0, 0), (0, 0)))
+        for i in range(n_takes)])
+    state_preds = jnp.asarray(state_preds, dtype)
+
+    # full-take video context (the eval path's fix_cnn_feat semantics:
+    # set_fix_sampling with the whole take, ego_mimic_eval.py:115-120)
+    v_out_p = agent.policy_vs_net.apply(agent.train_state.policy_vs,
+                                        jnp.asarray(cnn_feat, dtype))
+    v_out_v = agent.value_vs_net.apply(agent.train_state.value_vs,
+                                       jnp.asarray(cnn_feat, dtype))
+
+    policy_apply, _, value_apply, _ = agent._applies
+    ts = agent.train_state
+    zstat = agent.zstat
+
+    def reset_to_pred(st, pred_row):
+        """reset_env_state (ego_mimic_eval.py:93-99): statereg state +
+        align to the current sim xy/heading."""
+        ref_qpos = st.qpos
+        nq = p.nq
+        qpos = jnp.concatenate([ref_qpos[:2], pred_row[:nq - 2]])
+        qvel = pred_row[nq - 2:]
+        hq = M.get_heading_q(ref_qpos[3:7])
+        qpos = qpos.at[3:7].set(Q.quat_mul(hq, qpos[3:7]))
+        qvel = qvel.at[:3].set(Q.quat_rotate(hq, qvel[:3]))
+        bq = envs.get_body_quat(tables, qpos)
+        return st._replace(qpos=qpos, qvel=qvel, prev_qpos=qpos,
+                           prev_bquat=bq, bquat=bq)
+
+    take_idx = jnp.arange(n_takes)
+    start_idx = jnp.full(n_takes, m, jnp.int32)
+
+    def init_state(i):
+        st = envs.reset(model, p, tables, expert, jax.random.PRNGKey(0),
+                        fix_expert_ind=i, fix_start_ind=m)
+        return reset_to_pred(st, state_preds[i, m])
+
+    state0 = jax.vmap(init_state)(take_idx)
+    fix_head_lb = 0.3 if args.fail_safe == "naivefs" else None
+
+    def step_fn(carry, t):
+        st, vstat_n, vstat_mean, n_reset = carry
+        active = t < jnp.asarray(test_lens)
+
+        qpos_rec, qvel_rec = st.qpos, st.qvel
+        obs = jax.vmap(lambda s: envs.observe(p, s))(st)
+        zobs = running_norm.apply(zstat, obs, clip=5.0)
+        pin = jnp.concatenate([v_out_p[:, t], zobs], -1)
+        vin = jnp.concatenate([v_out_v[:, t], zobs], -1)
+        action, _ = policy_apply(ts.policy, pin)
+        value = value_apply(ts.value, vin)
+        vstat_n = vstat_n + active
+        vstat_mean = vstat_mean + jnp.where(active,
+                                            (value - vstat_mean)
+                                            / jnp.maximum(vstat_n, 1), 0.0)
+
+        new_st, out = jax.vmap(
+            lambda s, a: envs.step(model, p, tables, expert, s, a, 0.0,
+                                   fix_head_lb=fix_head_lb))(st, action)
+        if args.fail_safe == "valuefs":
+            trigger = value < 0.6 * vstat_mean
+        elif args.fail_safe == "naivefs":
+            trigger = out.fail
+        else:
+            trigger = jnp.zeros(n_takes, bool)
+        trigger = trigger & active & (t + 1 < jnp.asarray(test_lens))
+        pred_next = state_preds[take_idx, m + t + 1]
+        resetted = jax.vmap(reset_to_pred)(new_st, pred_next)
+        new_st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                trigger.reshape((n_takes,) + (1,) * (a.ndim - 1)), a, b),
+            resetted, new_st)
+        # frozen once inactive
+        new_st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                active.reshape((n_takes,) + (1,) * (a.ndim - 1)), a, b),
+            new_st, st)
+        n_reset = n_reset + trigger.astype(jnp.int32)
+        return (new_st, vstat_n, vstat_mean, n_reset), \
+            (qpos_rec, qvel_rec, out.reward)
+
+    carry0 = (state0, jnp.zeros(n_takes), jnp.zeros(n_takes),
+              jnp.zeros(n_takes, jnp.int32))
+    (stf, _, _, n_reset), (qpos_traj, qvel_traj, rewards) = jax.lax.scan(
+        step_fn, carry0, jnp.arange(t_max))
+
+    qpos_traj = np.asarray(qpos_traj)  # (T, B, nq)
+    qvel_traj = np.asarray(qvel_traj)
+    n_reset = np.asarray(n_reset)
+
+    traj_pred, traj_orig, vel_pred = {}, {}, {}
+    for i in range(n_takes):
+        take = takes[i] if i < len(takes) else f"take_{i}"
+        tl = int(test_lens[i])
+        traj_pred[take] = qpos_traj[:tl, i]
+        vel_pred[take] = qvel_traj[:tl, i]
+        traj_orig[take] = np.asarray(expert.qpos[i, m:m + tl])
+        logger.info("take %s: len %d resets %d avg reward %.4f"
+                    % (take, tl, n_reset[i],
+                       float(np.asarray(rewards)[:tl, i].mean())))
+
+    results = {"traj_pred": traj_pred, "traj_orig": traj_orig,
+               "vel_pred": vel_pred}
+    meta = {"algo": "ego_mimic", "num_reset": int(n_reset.sum())}
+    fs_tag = "" if args.fail_safe == "valuefs" else "_" + args.fail_safe
+    c_tag = "_causal" if args.causal else ""
+    res_path = "%s/iter_%04d_%s%s%s.p" % (cfg.result_dir, args.iter,
+                                          args.data, fs_tag, c_tag)
+    os.makedirs(cfg.result_dir, exist_ok=True)
+    pickle.dump((results, meta), open(res_path, "wb"))
+    logger.info("num reset: %d" % int(n_reset.sum()))
+    logger.info("saved results to %s" % res_path)
+    return results, meta
+
+
+if __name__ == "__main__":
+    main()

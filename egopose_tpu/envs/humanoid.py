@@ -73,12 +73,12 @@ class StepOut(NamedTuple):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["jkp", "jkd", "a_ref", "a_scale", "torque_lim",
-                      "env_init_noise", "w", "k", "b_diffw", "contact"],
+                      "env_init_noise", "w", "k", "b_diffw"],
          meta_fields=["obs_coord", "obs_vel", "obs_heading", "obs_phase",
                       "root_deheading", "env_episode_len", "fr_margin",
                       "env_start_first", "action_type", "frame_skip",
                       "reward_id", "reward_decay", "v_ord", "nq", "nv", "nu",
-                      "obs_dim"])
+                      "obs_dim", "contact"])
 @dataclasses.dataclass(frozen=True)
 class EnvParams:
     """Device-side environment configuration (subset of the YAML config the

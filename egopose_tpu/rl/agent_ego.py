@@ -91,10 +91,20 @@ class AgentEgo:
         vvs_apply = lambda p, w: self.value_vs_net.apply(p, w)
         self._applies = (policy_apply, pvs_apply, value_apply, vvs_apply)
 
-        def sample_fn(p_pol, p_pvs, zstat, key, noise_rate, mean_action,
-                      end_reward):
+        def pctx_apply(p_vs, windows, states):
+            v_ctx = pvs_apply(p_vs, windows)             # (B,T,vh)
+            return jnp.concatenate([v_ctx.transpose(1, 0, 2), states], -1)
+
+        def vctx_apply(p_vs, windows, states):
+            v_ctx = vvs_apply(p_vs, windows)
+            return jnp.concatenate([v_ctx.transpose(1, 0, 2), states], -1)
+
+        self._ctx_applies = (pctx_apply, vctx_apply)
+
+        def sample_fn(p_env, expert_arg, cnn_arg, p_pol, p_pvs, zstat, key,
+                      noise_rate, mean_action, end_reward):
             return rollout.rollout_segment(
-                model, params, tables, expert, self.cnn_feat,
+                model, p_env, tables, expert_arg, cnn_arg,
                 policy_apply, p_pol, pvs_apply, p_pvs, zstat, key,
                 batch_lanes, noise_rate, mean_action, end_reward)
 
@@ -102,8 +112,8 @@ class AgentEgo:
 
         def update_fn(ts, batch, windows):
             return ppo.ppo_update(ts, self.opt_p, self.opt_v, self.hyper,
-                                  batch, windows, policy_apply, pvs_apply,
-                                  value_apply, vvs_apply)
+                                  batch, windows, policy_apply, pctx_apply,
+                                  value_apply, vctx_apply)
 
         self._update_fn = jax.jit(update_fn)
 
@@ -131,6 +141,7 @@ class AgentEgo:
         for i in range(n_seg):
             key, sub = jax.random.split(key)
             seg, self.zstat = self._sample_fn(
+                self.p, self.expert, self.cnn_feat,
                 self.train_state.policy, self.train_state.policy_vs,
                 self.zstat, sub, self.noise_rate, mean_action,
                 self.end_reward)

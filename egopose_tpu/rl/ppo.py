@@ -60,11 +60,14 @@ def make_optimizers(policy_lr, value_lr, grad_clip=40.0,
 
 def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
                batch: SegmentBatch, windows: jax.Array,
-               policy_apply: Callable, policy_vs_apply: Callable,
-               value_apply: Callable, value_vs_apply: Callable):
+               policy_apply: Callable, policy_ctx_apply: Callable,
+               value_apply: Callable, value_ctx_apply: Callable):
     """Run num_epochs PPO epochs on one sampled batch.
 
     batch arrays are time-major (T, B, ...); windows (B, W, feat).
+    ``*_ctx_apply(params_vs, windows, states) -> (T, B, in_dim)`` builds the
+    full network input from the video context and the recorded states (the
+    trans_policy/trans_value hooks of agent_ego.py:28-32, batched).
     Returns (new TrainState, metrics dict).
     """
     t_len, bsz = batch.rewards.shape
@@ -72,14 +75,12 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
     n_valid = jnp.maximum(valid.sum(), 1.0)
 
     def policy_logprob(p_policy, p_vs, actions):
-        v_ctx = policy_vs_apply(p_vs, windows)           # (B,T,vh)
-        pin = jnp.concatenate([v_ctx.transpose(1, 0, 2), batch.states], -1)
+        pin = policy_ctx_apply(p_vs, windows, batch.states)
         mean, log_std = policy_apply(p_policy, pin)
         return diag_gaussian_log_prob(actions, mean, log_std)
 
     def values_of(p_value, p_vs):
-        v_ctx = value_vs_apply(p_vs, windows)
-        vin = jnp.concatenate([v_ctx.transpose(1, 0, 2), batch.states], -1)
+        vin = value_ctx_apply(p_vs, windows, batch.states)
         return value_apply(p_value, vin)                 # (T,B)
 
     # pre-update quantities

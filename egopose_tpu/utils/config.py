@@ -186,13 +186,13 @@ class EgoForecastConfig(EgoMimicConfig):
         self.ego_mimic_cfg = g("ego_mimic_cfg")
         self.ego_mimic_iter = g("ego_mimic_iter")
         self.fr_margin = g("fr_margin", 30)
-        self.v_net = g("v_net", "lstm")
-        self.v_net_param = g("v_net_param", None)
-        self.v_hdim = g("v_hdim", 128)
-        self.s_hdim = g("s_hdim", None)
-        self.s_net_type = g("s_net_type", "lstm")
-        self.dynamic_v = g("dynamic_v", False)
-        self.end_reward = g("end_reward", False)
+        self.policy_s_net = g("policy_s_net", "id")
+        self.policy_s_hdim = g("policy_s_hdim", None)
+        self.policy_dyn_v = g("policy_dyn_v", False)
+        self.value_s_net = g("value_s_net", "id")
+        self.value_s_hdim = g("value_s_hdim", None)
+        self.value_dyn_v = g("value_dyn_v", False)
+        self.end_reward = g("end_reward", True)
         n = self.adp_iter_cp.size
         v = np.array(g("adp_init_noise_cp", [self.env_init_noise]), dtype=float)
         self.adp_init_noise_cp = np.pad(v, (0, n - v.size), "edge")

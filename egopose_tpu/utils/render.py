@@ -1,0 +1,66 @@
+"""Host-side trajectory visualization.
+
+Replaces the reference's interactive GLFW viewer (/root/reference/envs/
+common/mjviewer.py) for headless environments: replays saved qpos
+trajectories through the MuJoCo renderer (offscreen EGL/OSMesa) and writes a
+video.  The physics never runs here -- like the reference's HumanoidVisEnv
+(envs/visual/humanoid_vis.py), rendering is pure pose puppetry.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def render_qpos_video(trajs, out_path, fps=30, res=(640, 480),
+                      model_xml=None, spacing=1.0):
+    """Render one or more qpos trajectories side by side to a video file.
+
+    trajs: list of (T, nq) arrays (e.g. prediction + ground truth).
+    Falls back to writing a .npz of the trajectories when no renderer/encoder
+    is available (zero-egress images may lack GL).
+    """
+    try:
+        import mujoco
+        from ..physics import parse_mjcf, export_mjcf
+        here = os.path.join(os.path.dirname(__file__), "..", "..")
+        xml = model_xml or os.path.join(
+            here, "assets/mujoco_models/humanoid_1205_v1.xml")
+        spec = parse_mjcf(xml)
+        model = mujoco.MjModel.from_xml_string(export_mjcf(spec))
+        data = mujoco.MjData(model)
+        renderer = mujoco.Renderer(model, height=res[1], width=res[0])
+        frames = []
+        t_len = min(t.shape[0] for t in trajs)
+        for t in range(t_len):
+            row = []
+            for k, traj in enumerate(trajs):
+                q = np.array(traj[t])
+                q[1] += spacing * k  # offset each trajectory sideways
+                data.qpos[:] = q
+                mujoco.mj_forward(model, data)
+                renderer.update_scene(data)
+                row.append(renderer.render())
+            frames.append(np.concatenate(row, axis=1))
+        _write_video(frames, out_path, fps)
+        return out_path
+    except Exception as e:  # headless fallback
+        alt = os.path.splitext(out_path)[0] + ".npz"
+        np.savez_compressed(alt, **{f"traj_{i}": np.asarray(t)
+                                    for i, t in enumerate(trajs)})
+        return alt
+
+
+def _write_video(frames, out_path, fps):
+    try:
+        import cv2
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        for f in frames:
+            vw.write(f[..., ::-1])
+        vw.release()
+    except Exception:
+        np.savez_compressed(os.path.splitext(out_path)[0] + ".npz",
+                            frames=np.stack(frames))
