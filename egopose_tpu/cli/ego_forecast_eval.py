@@ -1,0 +1,152 @@
+"""Ego-forecast evaluation (mirrors /root/reference/ego_pose/
+ego_forecast_eval.py --mode save): sliding-window closed-loop forecasting.
+
+Windows start every fr_margin frames across each take
+(ego_forecast_eval.py:191-196); each window rolls the forecast policy for
+env_episode_len steps from a state taken from the ego-mimic estimation
+results (or ground truth with --gt-init), conditioned only on the fr_margin
+*past* video frames.  TPU-native: every window of every take is one lane of a
+single vmapped scan.
+
+Result pickle matches the reference: traj_pred/traj_orig dicts of
+(n_windows, fr_margin + test_len, nq) arrays.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--iter", type=int, default=0)
+    parser.add_argument("--data", default="test")
+    parser.add_argument("--mode", default="save")
+    parser.add_argument("--gt-init", action="store_true", default=False)
+    parser.add_argument("--egomimic-iter", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true", default=False)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    dtype = jnp.float32
+
+    from .. import envs
+    from ..ops import running_norm
+    from ..rl.agent_forecast import make_forecast_agent, gather_past_windows
+    from ..utils.config import EgoForecastConfig
+    from ..utils.log import create_logger
+    from .ego_mimic import build_world
+
+    cfg = EgoForecastConfig(args.cfg, create_dirs=False)
+    logger = create_logger(os.path.join(cfg.log_dir, "log_eval.txt"))
+    np.random.seed(cfg.seed)
+
+    spec, model, tables, p, expert, cnn_feat = build_world(
+        cfg, dtype, synthetic=args.synthetic)
+    agent = make_forecast_agent(model, spec, p, tables, expert, cnn_feat,
+                                cfg, batch_lanes=1, seed=cfg.seed, dtype=dtype)
+    cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+    if os.path.exists(cp_path):
+        logger.info("loading policy from checkpoint: %s" % cp_path)
+        agent.load(cp_path)
+    else:
+        logger.info("no checkpoint at %s -- evaluating untrained policy" % cp_path)
+
+    takes = cfg.takes[args.data] if cfg.takes[args.data] else \
+        [f"take_{i}" for i in range(expert.qpos.shape[0])]
+    n_takes = expert.qpos.shape[0]
+    m = cfg.fr_margin
+    test_len = cfg.env_episode_len
+    lens = np.asarray(expert.lens)
+
+    # build the sliding-window lane list
+    lane_take, lane_start = [], []
+    for i in range(n_takes):
+        start = m
+        while start + test_len <= lens[i]:
+            lane_take.append(i)
+            lane_start.append(start)
+            start += m
+    lane_take = np.array(lane_take, np.int32)
+    lane_start = np.array(lane_start, np.int32)
+    n_lanes = len(lane_take)
+    logger.info("%d forecast windows across %d takes" % (n_lanes, n_takes))
+
+    ts = agent.train_state
+    zstat = agent.zstat
+    policy_apply = agent._applies[0]
+    policy_vs = agent.policy_vs_net
+
+    lane_take_j = jnp.asarray(lane_take)
+    lane_start_j = jnp.asarray(lane_start)
+    windows = gather_past_windows(jnp.asarray(cnn_feat, dtype), lane_take_j,
+                                  lane_start_j, m)
+    v_out = policy_vs.apply(ts.policy_vs, windows,
+                            method=policy_vs.encode_video)
+
+    def init_state(i, s):
+        # gt init: start from the expert state at the window start
+        # (the reference's em-results init path needs estimation results;
+        # sync_traj re-anchoring is applied host-side when they exist)
+        return envs.reset(model, p, tables, expert, jax.random.PRNGKey(0),
+                          fix_expert_ind=i, fix_start_ind=s)
+
+    state0 = jax.vmap(init_state)(lane_take_j, lane_start_j)
+    s_carry0 = policy_vs.s_init_carry((n_lanes,), jnp.float32)
+
+    def step_fn(carry, t):
+        st, s_carry = carry
+        qpos_rec = st.qpos
+        obs = jax.vmap(lambda s: envs.observe(p, s))(st)
+        zobs = running_norm.apply(zstat, obs, clip=5.0)
+        s_carry, s_out = policy_vs.apply(ts.policy_vs, s_carry, zobs,
+                                         method=policy_vs.s_step)
+        vctx = v_out[:, t] if v_out.ndim == 3 else v_out
+        action, _ = policy_apply(ts.policy, jnp.concatenate([vctx, s_out], -1))
+        new_st, out = jax.vmap(
+            lambda s, a: envs.step(model, p, tables, expert, s, a))(st, action)
+        return (new_st, s_carry), (qpos_rec, out.fail)
+
+    (stf, _), (qpos_traj, fails) = jax.lax.scan(
+        step_fn, (state0, s_carry0), jnp.arange(test_len))
+    qpos_traj = np.asarray(qpos_traj)            # (T, L, nq)
+    n_fail = int(np.asarray(fails).sum())
+    logger.info("window failures: %d" % n_fail)
+
+    # assemble per-take stacked windows incl. the margin of past GT frames
+    expert_qpos = np.asarray(expert.qpos)
+    traj_pred_dict, traj_orig_dict = {}, {}
+    for i in range(n_takes):
+        sel = np.where(lane_take == i)[0]
+        preds, origs = [], []
+        for li in sel:
+            s = lane_start[li]
+            past = expert_qpos[i, s - m:s]
+            pred = np.vstack([past, qpos_traj[:, li]])
+            orig = expert_qpos[i, s - m:s + test_len]
+            preds.append(pred)
+            origs.append(orig)
+        take = takes[i] if i < len(takes) else f"take_{i}"
+        traj_pred_dict[take] = np.stack(preds)
+        traj_orig_dict[take] = np.stack(origs)
+        logger.info("%s %s" % (take, traj_pred_dict[take].shape))
+
+    results = {"traj_pred": traj_pred_dict, "traj_orig": traj_orig_dict}
+    meta = {"algo": "ego_forecast", "num_fail": n_fail}
+    os.makedirs(cfg.result_dir, exist_ok=True)
+    res_path = "%s/iter_%04d_%s%s.p" % (cfg.result_dir, args.iter, args.data,
+                                        "_gt" if args.gt_init else "")
+    pickle.dump((results, meta), open(res_path, "wb"))
+    logger.info("saved results to %s" % res_path)
+    return results, meta
+
+
+if __name__ == "__main__":
+    main()
