@@ -1,0 +1,87 @@
+"""Wild forecast metrics (mirrors /root/reference/ego_pose/
+eval_forecast_wild.py --mode stats): per-horizon 2D keypoint distance vs
+OpenPose ground truth over the forecast windows."""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--egoforecast-cfg", default=None)
+    parser.add_argument("--egoforecast-iter", type=int, default=0)
+    parser.add_argument("--data", default="wild_01")
+    parser.add_argument("--mode", default="stats")
+    parser.add_argument("--horizons", type=int, nargs="+", default=[30, 90])
+    parser.add_argument("--meta-file", default=None)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    import yaml
+    from ..physics import parse_mjcf, build_model
+    from ..utils import metrics as mt
+    from ..utils.config import EgoForecastConfig
+    from ..utils.pose2d import Pose2DContext
+
+    cfg = EgoForecastConfig(args.egoforecast_cfg, create_dirs=False)
+    xml = "assets/mujoco_models/%s.xml" % cfg.mujoco_model
+    if not os.path.exists(xml):
+        xml = "/root/reference/" + xml
+    spec = parse_mjcf(xml)
+    model = build_model(spec, dtype=jnp.float32)
+    pose_ctx = Pose2DContext(model, spec)
+    wild_meta = yaml.safe_load(open(args.meta_file)) \
+        if args.meta_file and os.path.exists(args.meta_file) else {}
+
+    res_path = "results/egoforecast/%s/results/iter_%04d_%s.p" % (
+        args.egoforecast_cfg, args.egoforecast_iter, args.data)
+    results, _ = pickle.load(open(res_path, "rb"))
+    m = cfg.fr_margin
+    dt = 1 / 30.0
+
+    out = {}
+    for horizon in args.horizons:
+        g_pose, g_smooth, n = 0.0, 0.0, 0
+        for take, windows in results["traj_pred"].items():
+            tpv_offset = wild_meta.get("tpv_offset", {}).get(take, m)
+            flip = wild_meta.get("tpv_flip", {}).get(take, False)
+            t_pose, t_smooth, t_valid = 0.0, 0.0, 0
+            for wi in range(windows.shape[0]):
+                traj = windows[wi, m:m + horizon]
+                pose_dist, valid = 0.0, 0
+                for fr in range(traj.shape[0]):
+                    gt_fr = wi * m + m + fr + tpv_offset
+                    gt_file = "%s/tpv/poses/%s/%05d_keypoints.json" % (
+                        cfg.data_dir, take, gt_fr)
+                    if not os.path.exists(gt_file):
+                        continue
+                    gt_p = pose_ctx.load_gt_pose(gt_file)
+                    if not pose_ctx.check_gt(gt_p):
+                        continue
+                    valid += 1
+                    p2 = pose_ctx.align_qpos(traj[fr], gt_p, flip=flip)
+                    pose_dist += pose_ctx.get_pose_dist(p2, gt_p)
+                if valid:
+                    t_pose += pose_dist / valid
+                    t_valid += 1
+                vels = mt.get_joint_vels(traj, dt)
+                t_smooth += mt.get_mean_abs(mt.get_joint_accels(vels, dt))
+            if windows.shape[0]:
+                g_pose += t_pose / max(t_valid, 1)
+                g_smooth += t_smooth / windows.shape[0]
+                n += 1
+        if n:
+            g_pose /= n
+            g_smooth /= n
+        print("all - horizon: %d, pose dist: %.4f, accels: %.4f"
+              % (horizon, g_pose, g_smooth))
+        out[horizon] = (g_pose, g_smooth)
+    return out
+
+
+if __name__ == "__main__":
+    main()

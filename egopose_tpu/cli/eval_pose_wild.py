@@ -1,0 +1,112 @@
+"""Wild pose-estimation metrics (mirrors /root/reference/ego_pose/
+eval_pose_wild.py --mode stats): scale-normalized 2D keypoint distance vs
+OpenPose ground truth + smoothness."""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def compute_wild_metrics(res, algo, takes, pose_ctx, meta, data_dir,
+                         fr_margin, dt=1.0 / 30.0, verbose=True):
+    from ..utils import metrics as mt
+    if res is None:
+        return None
+    if verbose:
+        print("=" * 10 + " %s " % algo + "=" * 10)
+    g_pose, g_smooth = 0.0, 0.0
+    for take in takes:
+        traj_pred = res["traj_pred"][take]
+        traj_ub = meta.get("traj_ub", {}).get(take, traj_pred.shape[0])
+        traj_pred = traj_pred[:traj_ub]
+        tpv_offset = meta.get("tpv_offset", {}).get(take, fr_margin)
+        flip = meta.get("tpv_flip", {}).get(take, False)
+        pose_dist, valid = 0.0, 0
+        for fr in range(max(0, -tpv_offset), traj_pred.shape[0]):
+            gt_file = "%s/tpv/poses/%s/%05d_keypoints.json" % (
+                data_dir, take, fr + tpv_offset)
+            if not os.path.exists(gt_file):
+                continue
+            gt_p = pose_ctx.load_gt_pose(gt_file)
+            if not pose_ctx.check_gt(gt_p):
+                continue
+            valid += 1
+            p2 = pose_ctx.align_qpos(traj_pred[fr], gt_p, flip=flip)
+            pose_dist += pose_ctx.get_pose_dist(p2, gt_p)
+        pose_dist /= max(valid, 1)
+        vels = mt.get_joint_vels(traj_pred, dt)
+        accels = mt.get_joint_accels(vels, dt)
+        smooth = mt.get_mean_abs(accels)
+        if verbose:
+            print("%s - pose dist: %.4f, accels: %.4f" % (take, pose_dist,
+                                                          smooth))
+        g_pose += pose_dist
+        g_smooth += smooth
+    g_pose /= len(takes)
+    g_smooth /= len(takes)
+    if verbose:
+        print("-" * 60)
+        print("all - pose dist: %.4f, accels: %.4f" % (g_pose, g_smooth))
+        print("-" * 60 + "\n")
+    return g_pose, g_smooth
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--egomimic-cfg", default=None)
+    parser.add_argument("--statereg-cfg", default=None)
+    parser.add_argument("--egomimic-iter", type=int, default=0)
+    parser.add_argument("--statereg-iter", type=int, default=0)
+    parser.add_argument("--data", default="wild_01")
+    parser.add_argument("--mode", default="stats")
+    parser.add_argument("--meta-file", default=None,
+                        help="yaml with tpv_offset/tpv_flip/traj_ub")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    import yaml
+    from ..physics import parse_mjcf, build_model
+    from ..utils.config import EgoMimicConfig
+    from ..utils.pose2d import Pose2DContext
+
+    cfg = EgoMimicConfig(args.egomimic_cfg, create_dirs=False)
+    spec = parse_mjcf("assets/mujoco_models/%s.xml" % cfg.mujoco_model
+                      if os.path.exists("assets/mujoco_models/%s.xml"
+                                        % cfg.mujoco_model)
+                      else "/root/reference/assets/mujoco_models/%s.xml"
+                      % cfg.mujoco_model)
+    model = build_model(spec, dtype=jnp.float32)
+    pose_ctx = Pose2DContext(model, spec)
+
+    wild_meta = {}
+    if args.meta_file and os.path.exists(args.meta_file):
+        wild_meta = yaml.safe_load(open(args.meta_file))
+
+    em_res = None
+    if args.egomimic_cfg is not None:
+        path = "results/egomimic/%s/results/iter_%04d_%s.p" % (
+            args.egomimic_cfg, args.egomimic_iter, args.data)
+        em_res, _ = pickle.load(open(path, "rb"))
+    sr_res = None
+    if args.statereg_cfg is not None:
+        path = "results/statereg/%s/results/iter_%04d_%s.p" % (
+            args.statereg_cfg, args.statereg_iter, args.data)
+        sr_res, _ = pickle.load(open(path, "rb"))
+
+    takes = list((em_res or sr_res)["traj_pred"].keys())
+    out = {}
+    if args.mode == "stats":
+        out["ego_mimic"] = compute_wild_metrics(
+            em_res, "ego mimic", takes, pose_ctx, wild_meta, cfg.data_dir,
+            cfg.fr_margin)
+        out["state_reg"] = compute_wild_metrics(
+            sr_res, "state reg", takes, pose_ctx, wild_meta, cfg.data_dir,
+            cfg.fr_margin)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""TRPO policy update (mirrors /root/reference/agents/agent_trpo.py).
+
+Natural-gradient step: conjugate-gradient solve of the Fisher system + line
+search on the surrogate under a KL constraint.  The reference's explicit
+Fisher-vector products (Fvp_fim / Fvp_direct, agent_trpo.py:89-121) become a
+Hessian-vector product of the mean KL via jvp-of-grad -- the JAX-native form
+of Fvp_direct.  The L-BFGS critic fit (agent_trpo.py:67-70) is replaced by
+jaxopt-free Gauss-Newton-flavored Adam steps (see update_value_lbfgs for the
+scipy-backed exact equivalent on host).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .distributions import diag_gaussian_log_prob
+
+
+class TRPOHyper(NamedTuple):
+    max_kl: float = 1e-2
+    damping: float = 1e-2
+    cg_iters: int = 10
+    ls_steps: int = 10
+    accept_ratio: float = 0.1
+
+
+def _flat(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.concatenate([l.reshape(-1) for l in leaves])
+
+
+def _unflat(flat, tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    i = 0
+    for l in leaves:
+        n = l.size
+        out.append(flat[i:i + n].reshape(l.shape))
+        i += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def conjugate_gradient(avp: Callable, b: jax.Array, iters: int,
+                       rtol: float = 1e-10):
+    """CG solve of A x = b (agent_trpo.py:6-24)."""
+    x = jnp.zeros_like(b)
+    r = b
+    p = b
+    rdotr = jnp.dot(r, r)
+
+    def body(carry, _):
+        x, r, p, rdotr = carry
+        ap = avp(p)
+        alpha = rdotr / jnp.dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        new_rdotr = jnp.dot(r, r)
+        p = r + (new_rdotr / rdotr) * p
+        return (x, r, p, new_rdotr), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rdotr), None, length=iters)
+    return x
+
+
+def trpo_step(policy_params, policy_in_fn: Callable, states, actions,
+              advantages, exps, hyper: TRPOHyper = TRPOHyper()):
+    """One TRPO policy update.
+
+    policy_in_fn(params) -> (mean, log_std) over all recorded states.
+    Returns (new_params, info dict).  Mirrors agent_trpo.update_policy
+    (agent_trpo.py:72-137): surrogate gradient -> CG -> line search.
+    """
+    w = exps
+    n = jnp.maximum(w.sum(), 1.0)
+
+    mean0, log_std0 = policy_in_fn(policy_params)
+    logp0 = diag_gaussian_log_prob(actions, mean0, log_std0)
+    logp0 = jax.lax.stop_gradient(logp0)
+
+    def surrogate(params):
+        mean, log_std = policy_in_fn(params)
+        logp = diag_gaussian_log_prob(actions, mean, log_std)
+        ratio = jnp.exp(logp - logp0)
+        return -jnp.sum(ratio * advantages * w) / n
+
+    def mean_kl(params):
+        mean, log_std = policy_in_fn(params)
+        m0 = jax.lax.stop_gradient(mean)
+        ls0 = jax.lax.stop_gradient(log_std)
+        kl = log_std - ls0 + (jnp.exp(2 * ls0) + (m0 - mean) ** 2) \
+            / (2 * jnp.exp(2 * log_std)) - 0.5
+        return jnp.sum(kl.sum(-1) * w) / n
+
+    loss0, grad = jax.value_and_grad(surrogate)(policy_params)
+    g = _flat(grad)
+
+    def fvp(v):
+        vec = _unflat(v, policy_params)
+        # Fvp_direct (agent_trpo.py:104-121): Hessian-vector product of KL
+        _, hvp = jax.jvp(jax.grad(mean_kl), (policy_params,), (vec,))
+        return _flat(hvp) + hyper.damping * v
+
+    stepdir = conjugate_gradient(fvp, -g, hyper.cg_iters)
+    shs = 0.5 * jnp.dot(stepdir, fvp(stepdir))
+    lm = jnp.sqrt(shs / hyper.max_kl)
+    fullstep = stepdir / lm
+    expected_improve = -jnp.dot(g, fullstep)
+
+    # backtracking line search (agent_trpo.py:27-40)
+    x0 = _flat(policy_params)
+
+    def ls_body(carry, i):
+        best_x, done = carry
+        stepfrac = 0.5 ** i.astype(x0.dtype)
+        xnew = x0 + stepfrac * fullstep
+        fnew = surrogate(_unflat(xnew, policy_params))
+        actual = loss0 - fnew
+        expected = expected_improve * stepfrac
+        ok = (actual / jnp.maximum(expected, 1e-12)) > hyper.accept_ratio
+        ok = ok & (actual > 0) & ~done
+        best_x = jnp.where(ok, xnew, best_x)
+        return (best_x, done | ok), ok
+
+    (x_final, success), _ = jax.lax.scan(
+        ls_body, (x0, jnp.zeros((), bool)), jnp.arange(hyper.ls_steps))
+    new_params = _unflat(x_final, policy_params)
+    return new_params, {"surrogate_loss": loss0, "ls_success": success,
+                        "kl": mean_kl(new_params)}
+
+
+def update_value_lbfgs(value_loss_fn, params):
+    """Critic fit via scipy L-BFGS on host (agent_trpo.py:61-70 equivalent)."""
+    from scipy.optimize import fmin_l_bfgs_b
+    import numpy as np
+
+    flat0 = np.asarray(_flat(params), dtype=np.float64)
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda f: value_loss_fn(_unflat(f, params))))
+
+    def f(flat):
+        v, g = grad_fn(jnp.asarray(flat, jnp.float64)
+                       if flat0.dtype == np.float64 else jnp.asarray(flat))
+        return float(v), np.asarray(_flat(g), np.float64)
+
+    xf, _, _ = fmin_l_bfgs_b(f, flat0, maxiter=25)
+    return _unflat(jnp.asarray(xf, _flat(params).dtype), params)
