@@ -20,7 +20,7 @@ import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(HERE, ".bench_baseline.json")
-LANES = int(os.environ.get("BENCH_LANES", "4096"))
+LANES = int(os.environ.get("BENCH_LANES", "2048"))
 SEGMENTS = int(os.environ.get("BENCH_SEGMENTS", "2"))
 
 

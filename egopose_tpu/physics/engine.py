@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import quat as Q
+from .linalg_pallas import spd_solve
 from .model import PhysicsModel
 
 # TPU matmuls default to reduced (bf16) precision for f32 inputs, which is
@@ -244,11 +245,64 @@ def bias_force(m: PhysicsModel, kin: Kin, qvel: jax.Array) -> jax.Array:
 # contacts (penalty model vs the z=0 floor plane) and joint limits
 # ---------------------------------------------------------------------------
 
+def contact_jacobian(m: PhysicsModel, kin: Kin,
+                     params: ContactParams = DEFAULT_CONTACT):
+    """Active-contact geometry: top-K deepest candidate points, their stacked
+    Jacobian (3K, nd), penetrations, and friction coefficients."""
+    nd = m.ndof
+    dt = m.timestep
+    k = min(params.max_contacts, m.ncpoint)
+
+    p_all = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
+                                                    m.cpoint_local)
+    phi_all = m.cpoint_radius - p_all[:, 2]
+    phi, sel = jax.lax.top_k(phi_all, k)
+    p = p_all[sel]
+    mu = m.cpoint_mu[sel]
+    dof_mask = m.point_dof_mask.T[sel]
+    act = (phi > -params.margin).astype(p.dtype)
+
+    s_ang, s_lin = kin.s[:, :3], kin.s[:, 3:]
+    jp = s_lin[None] + jnp.cross(jnp.broadcast_to(s_ang[None], (k, nd, 3)),
+                                 p[:, None, :])
+    jp = jp * (act[:, None] * dof_mask)[:, :, None]
+    jf = jp.transpose(0, 2, 1).reshape(3 * k, nd)
+    return jf, phi, mu, act
+
+
+def contact_iterate(m: PhysicsModel, jf, w, phi, mu, act, v_pred,
+                    params: ContactParams = DEFAULT_CONTACT) -> jax.Array:
+    """Projected sweep on the contact QP given W = Minv J^T (nd, 3K)."""
+    k = phi.shape[0]
+    dt = m.timestep
+    a = _mm(jf, w)
+    b = _mm(jf, v_pred)
+    vn_target = jnp.minimum(
+        params.beta * jnp.maximum(phi - params.slop, 0.0) / dt, 1.0) * act
+    target = jnp.zeros((k, 3), v_pred.dtype).at[:, 2].set(vn_target).reshape(-1)
+    bhat = b - target
+    diag = jnp.sum(jnp.abs(a), axis=-1) + 1.0e-9
+
+    def sweep(lam, _):
+        g = _mm(a, lam) + bhat
+        lam = lam - params.relax * g / diag
+        lam = lam.reshape(k, 3)
+        ln = jnp.maximum(lam[:, 2], 0.0)
+        lim = mu * ln
+        lt = jnp.clip(lam[:, :2], -lim[:, None], lim[:, None])
+        return jnp.concatenate([lt, ln[:, None]], -1).reshape(-1), None
+
+    lam0 = jnp.zeros(3 * k, v_pred.dtype)
+    lam, _ = jax.lax.scan(sweep, lam0, None, length=params.iters)
+    return v_pred + _mm(w, lam)
+
+
 def contact_project(m: PhysicsModel, kin: Kin, chol_l: jax.Array,
                     v_pred: jax.Array,
                     params: ContactParams = DEFAULT_CONTACT) -> jax.Array:
-    """Velocity-level floor-contact solve: project the predicted velocity
-    onto the contact constraints via impulses.
+    """Velocity-level floor-contact solve given a precomputed Cholesky factor
+    (compatibility entry; step_raw/pd_control_step use the fused
+    contact_jacobian + spd_solve + contact_iterate path).
 
     Replaces MuJoCo's constraint solver for the floor contacts of the EgoPose
     humanoid.  Formulation: an inelastic contact QP over point impulses
@@ -348,8 +402,7 @@ def smooth_dynamics(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         - jnp.concatenate([jnp.zeros(6, qpos.dtype),
                            m.dof_stiffness[6:] * qpos[7:]])
     a = mm + m.timestep * jnp.diag(m.dof_damping)
-    l = jnp.linalg.cholesky(a)
-    return jax.scipy.linalg.cho_solve((l, True), qfrc), l, kin
+    return qfrc, a, kin
 
 
 def integrate(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
@@ -363,10 +416,15 @@ def integrate(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Arra
 def step_raw(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array, tau: jax.Array,
              params: ContactParams = DEFAULT_CONTACT):
     """One physics substep at m.timestep with generalized applied force tau:
-    smooth dynamics -> predicted velocity -> contact projection -> integrate."""
-    qacc, chol_l, kin = smooth_dynamics(m, qpos, qvel, tau, params)
+    smooth dynamics -> predicted velocity -> contact projection -> integrate.
+    The dynamics solve and the contact Delassus columns (W = Minv J^T) share
+    one fused SPD solve (the Pallas lane-major kernel under vmap)."""
+    qfrc, a, kin = smooth_dynamics(m, qpos, qvel, tau, params)
+    jf, phi, mu, act = contact_jacobian(m, kin, params)
+    sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T], axis=1))
+    qacc, w = sol[:, 0], sol[:, 1:]
     v_pred = qvel + m.timestep * qacc
-    qvel = contact_project(m, kin, chol_l, v_pred, params)
+    qvel = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
     qpos = integrate(m, qpos, qvel, m.timestep)
     return qpos, qvel
 
@@ -399,8 +457,7 @@ def stable_pd_torque(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
     qvel_err = qvel
     rhs = -qfrc_bias - k_p * qpos_err - k_d * qvel_err
     a = mm + dt * jnp.diag(k_d)
-    l = jnp.linalg.cholesky(a)
-    qacc = jax.scipy.linalg.cho_solve((l, True), rhs)
+    qacc = spd_solve(a, rhs[:, None])[:, 0]
     qvel_err = qvel_err + qacc * dt
     return -jkp * qpos_err[6:] - jkd * qvel_err[6:]
 
@@ -421,9 +478,13 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         torque = jnp.clip(torque, -torque_lim, torque_lim)
         tau = jnp.zeros(m.ndof, qp.dtype).at[jnp.asarray(m.actuator_dof)].add(
             torque * m.actuator_gear)
-        qacc, chol_l, _ = smooth_dynamics(m, qp, qv, tau, params, kin, mm, qfrc_bias)
+        qfrc, a, _ = smooth_dynamics(m, qp, qv, tau, params, kin, mm,
+                                     qfrc_bias)
+        jf, phi, mu, act = contact_jacobian(m, kin, params)
+        sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T], axis=1))
+        qacc, w = sol[:, 0], sol[:, 1:]
         v_pred = qv + m.timestep * qacc
-        qv = contact_project(m, kin, chol_l, v_pred, params)
+        qv = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
         qp = integrate(m, qp, qv, m.timestep)
         return (qp, qv), None
 
