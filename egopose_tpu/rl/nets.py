@@ -33,8 +33,11 @@ class PolicyGaussian(nn.Module):
         mean = nn.Dense(self.action_dim, name="action_mean",
                         kernel_init=_scaled_init(0.1),
                         bias_init=nn.initializers.zeros)(h)
+        # float32 to match flax's Dense param_dtype (mixed param dtypes break
+        # flat-vector TRPO math under jax_enable_x64)
         log_std = self.param("action_log_std",
-                             lambda k, s: jnp.full(s, self.log_std_init),
+                             lambda k, s: jnp.full(s, self.log_std_init,
+                                                   jnp.float32),
                              (self.action_dim,))
         if self.fix_std:
             log_std = jax.lax.stop_gradient(log_std)
