@@ -86,6 +86,8 @@ def main(argv=None):
                         help="override cfg.min_batch_size (debug)")
     parser.add_argument("--episode-len", type=int, default=None,
                         help="override cfg.env_episode_len (debug)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of one iteration")
     args = parser.parse_args(argv)
 
     import jax
@@ -133,6 +135,9 @@ def main(argv=None):
             agent.fill_log_std(cfg.adp_log_std)
 
         key, sub = jax.random.split(key)
+        profiling = args.profile_dir and i_iter == args.iter + 1
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         batch, log = agent.sample(sub, cfg.min_batch_size,
                                   mean_action=args.render and not args.show_noise)
         agent.end_reward = log.avg_c_reward * cfg.gamma / (1 - cfg.gamma)
@@ -140,6 +145,9 @@ def main(argv=None):
         t0 = time.time()
         metrics = agent.update_params(batch)
         t_update = time.time() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            logger.info("wrote profiler trace to %s" % args.profile_dir)
 
         info_str = np.array2string(log.avg_c_info,
                                    formatter={"all": lambda x: "%.4f" % x},

@@ -149,6 +149,8 @@ class AgentEgo:
         batch = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=1 if xs[0].ndim > 1 else 0),
             *segs) if n_seg > 1 else segs[0]
+        # block before timing: dispatch is async
+        batch.rewards.block_until_ready()
         log = self._make_log(batch, time.time() - t0)
         return batch, log
 
