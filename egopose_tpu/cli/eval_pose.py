@@ -86,9 +86,9 @@ def main(argv=None):
         from ..utils.render import render_qpos_video
         out = res_path.replace(".p", ".mp4")
         take = list(results["traj_pred"].keys())[0]
-        render_qpos_video([results["traj_pred"][take],
-                           results["traj_orig"][take]], out)
-        logger.info("wrote %s" % out)
+        written = render_qpos_video([results["traj_pred"][take],
+                                     results["traj_orig"][take]], out)
+        logger.info("wrote %s" % written)
 
 
 if __name__ == "__main__":

@@ -32,8 +32,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import quat as Q
-from .linalg_pallas import spd_solve
+from .linalg_pallas import make_fused_contact_solve, spd_solve
 from .model import PhysicsModel
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_solver(iters: int, relax: float):
+    return make_fused_contact_solve(iters, relax)
 
 # TPU matmuls default to reduced (bf16) precision for f32 inputs, which is
 # fatal for mass-matrix algebra -- pin every contraction in the engine to
@@ -61,6 +67,10 @@ class ContactParams(NamedTuple):
     iters: int = 25          # projected-Jacobi iterations
     relax: float = 1.0       # relaxation for the (row-sum-scaled) sweep
     max_contacts: int = 16   # top-K deepest candidate points kept per substep
+    fused_solver: bool = False  # use the single fused Pallas kernel for the
+                                # whole solve+contact chain (measured slightly
+                                # slower than the split path on v5e: the
+                                # mega-kernel serializes work XLA overlaps)
     klim: float = 200.0      # joint-limit stiffness (N m / rad)
     blim: float = 5.0        # joint-limit damping (N m s / rad)
 
@@ -270,6 +280,34 @@ def contact_jacobian(m: PhysicsModel, kin: Kin,
     return jf, phi, mu, act
 
 
+def contact_blocks(m: PhysicsModel, kin: Kin,
+                   params: ContactParams = DEFAULT_CONTACT):
+    """Active-contact geometry in BLOCK row order ([all-x; all-y; all-z]) for
+    the fused Pallas solve: returns (jf (3K,nd), target (3K,), mu (K,))."""
+    nd = m.ndof
+    dt = m.timestep
+    k = min(params.max_contacts, m.ncpoint)
+
+    p_all = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
+                                                    m.cpoint_local)
+    phi_all = m.cpoint_radius - p_all[:, 2]
+    phi, sel = jax.lax.top_k(phi_all, k)
+    p = p_all[sel]
+    mu = m.cpoint_mu[sel]
+    dof_mask = m.point_dof_mask.T[sel]
+    act = (phi > -params.margin).astype(p.dtype)
+
+    s_ang, s_lin = kin.s[:, :3], kin.s[:, 3:]
+    jp = s_lin[None] + jnp.cross(jnp.broadcast_to(s_ang[None], (k, nd, 3)),
+                                 p[:, None, :])
+    jp = jp * (act[:, None] * dof_mask)[:, :, None]
+    jf = jp.transpose(2, 0, 1).reshape(3 * k, nd)   # block order
+    vn_target = jnp.minimum(
+        params.beta * jnp.maximum(phi - params.slop, 0.0) / dt, 1.0) * act
+    target = jnp.concatenate([jnp.zeros(2 * k, p.dtype), vn_target])
+    return jf, target, mu
+
+
 def contact_iterate(m: PhysicsModel, jf, w, phi, mu, act, v_pred,
                     params: ContactParams = DEFAULT_CONTACT) -> jax.Array:
     """Projected sweep on the contact QP given W = Minv J^T (nd, 3K)."""
@@ -420,11 +458,16 @@ def step_raw(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array, tau: jax.Array,
     The dynamics solve and the contact Delassus columns (W = Minv J^T) share
     one fused SPD solve (the Pallas lane-major kernel under vmap)."""
     qfrc, a, kin = smooth_dynamics(m, qpos, qvel, tau, params)
-    jf, phi, mu, act = contact_jacobian(m, kin, params)
-    sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T], axis=1))
-    qacc, w = sol[:, 0], sol[:, 1:]
-    v_pred = qvel + m.timestep * qacc
-    qvel = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
+    if params.fused_solver:
+        jf, target, mu = contact_blocks(m, kin, params)
+        fused = _fused_solver(params.iters, params.relax)
+        qvel = fused(a, qfrc, qvel, jf, target, mu, m.timestep)
+    else:
+        jf, phi, mu, act = contact_jacobian(m, kin, params)
+        sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T], axis=1))
+        qacc, w = sol[:, 0], sol[:, 1:]
+        v_pred = qvel + m.timestep * qacc
+        qvel = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
     qpos = integrate(m, qpos, qvel, m.timestep)
     return qpos, qvel
 
@@ -480,11 +523,17 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
             torque * m.actuator_gear)
         qfrc, a, _ = smooth_dynamics(m, qp, qv, tau, params, kin, mm,
                                      qfrc_bias)
-        jf, phi, mu, act = contact_jacobian(m, kin, params)
-        sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T], axis=1))
-        qacc, w = sol[:, 0], sol[:, 1:]
-        v_pred = qv + m.timestep * qacc
-        qv = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
+        if params.fused_solver:
+            jf, target, mu = contact_blocks(m, kin, params)
+            fused = _fused_solver(params.iters, params.relax)
+            qv = fused(a, qfrc, qv, jf, target, mu, m.timestep)
+        else:
+            jf, phi, mu, act = contact_jacobian(m, kin, params)
+            sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T],
+                                               axis=1))
+            qacc, w = sol[:, 0], sol[:, 1:]
+            v_pred = qv + m.timestep * qacc
+            qv = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
         qp = integrate(m, qp, qv, m.timestep)
         return (qp, qv), None
 

@@ -129,3 +129,204 @@ def _spd_solve_vmap(axis_size, in_batched, a, rhs):
     else:
         out = jax.vmap(_spd_solve_single)(a, rhs)
     return out, True
+
+
+# ---------------------------------------------------------------------------
+# fused dynamics + contact solve
+# ---------------------------------------------------------------------------
+
+CLANES = 128  # Mosaic requires the lane (last) block dim to be 128
+
+
+def _fused_contact_kernel(a_ref, rhs_ref, jf_ref, target_ref, mu_ref,
+                          qvel_ref, out_ref, l_s, ac_s, x_s,
+                          n: int, c: int, k: int, iters: int, relax: float):
+    """Factor A, solve [qfrc | J^T], form the Delassus operator J W, run the
+    projected contact sweep, and emit the post-contact velocity -- all in
+    VMEM.  Contact rows are in block order: [x-rows (k), y-rows, z-rows].
+    Shapes (lane-major, L=CLANES): a (n,n,L), rhs (n,1+c,L), jf (c,n,L),
+    target (c,1,L), mu (k,1,L), qvel (n,1,L), dt (1,1,L), out (n,1,L)."""
+    lanes = a_ref.shape[-1]
+    # factor in place: after the rank-1 update zeroes column j (rows >= j),
+    # L's column j is stored there -- future steps never touch it again
+    l_s[...] = a_ref[...]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), 0)
+
+    def fact_step(j, _):
+        piv = l_s[pl.ds(j, 1), pl.ds(j, 1), :][0]
+        inv_d = jax.lax.rsqrt(jnp.maximum(piv, 1e-12))
+        col = l_s[:, pl.ds(j, 1), :][:, 0, :]
+        lcol = jnp.where(rows >= j, col * inv_d, 0.0)
+        l_s[...] = l_s[...] - lcol[:, None, :] * lcol[None, :, :]
+        l_s[:, pl.ds(j, 1), :] = lcol[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, fact_step, 0)
+
+    # solve workspace in VMEM scratch (ref-based dynamic slicing only)
+    x_s[...] = rhs_ref[...]
+
+    def fwd_step(j, _):
+        lj = l_s[pl.ds(j, 1), pl.ds(j, 1), :]
+        yj = x_s[pl.ds(j, 1), :, :] / lj
+        col = l_s[:, pl.ds(j, 1), :][:, 0, :]
+        col = jnp.where(rows > j, col, 0.0)
+        x_s[...] = x_s[...] - col[:, None, :] * yj
+        x_s[pl.ds(j, 1), :, :] = yj
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd_step, 0)
+
+    def bwd_step(i, _):
+        j = n - 1 - i
+        lj = l_s[pl.ds(j, 1), pl.ds(j, 1), :]
+        xj = x_s[pl.ds(j, 1), :, :] / lj
+        row = l_s[pl.ds(j, 1), :, :][0]
+        row = jnp.where(rows < j, row, 0.0)
+        x_s[...] = x_s[...] - row[:, None, :] * xj
+        x_s[pl.ds(j, 1), :, :] = xj
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd_step, 0)
+
+    # rhs column 0 was premultiplied by dt outside: x[:,0] = dt * qacc
+    v_pred = qvel_ref[...] + x_s[:, 0:1, :]              # (n,1,L)
+
+    # b = J v_pred  (c,1,L)
+    vp_row = v_pred[:, 0, :][None]                        # (1,n,L)
+    b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
+    bhat = b - target_ref[...]
+
+    # Delassus operator A_c = J W via rank-1 accumulation over dofs
+    ac_s[...] = jnp.zeros_like(ac_s)
+
+    def delassus_step(d, _):
+        jcol = jf_ref[:, pl.ds(d, 1), :]                  # (c,1,L)
+        wrow = x_s[pl.ds(d, 1), 1:, :][0][None]           # (1,c,L)
+        ac_s[...] = ac_s[...] + jcol * wrow
+        return 0
+
+    jax.lax.fori_loop(0, n, delassus_step, 0)
+    diag = jnp.sum(jnp.abs(ac_s[...]), axis=1, keepdims=True) + 1e-9
+
+    mu = mu_ref[...]                                      # (k,1,L)
+
+    def sweep(i, lam):
+        lam_row = lam[:, 0, :][None]                      # (1,c,L)
+        g = jnp.sum(ac_s[...] * lam_row, axis=1, keepdims=True) + bhat
+        lam = lam - relax * g / diag
+        ln = jnp.maximum(lam[2 * k:], 0.0)
+        lim = mu * ln
+        lx = jnp.clip(lam[:k], -lim, lim)
+        ly = jnp.clip(lam[k:2 * k], -lim, lim)
+        return jnp.concatenate([lx, ly, ln], axis=0)
+
+    lam = jax.lax.fori_loop(0, iters, sweep,
+                            jnp.zeros((c, 1, lanes), a_ref.dtype))
+
+    # v_new = v_pred + W lam
+    lam_row = lam[:, 0, :][None]                          # (1,c,L)
+    out_ref[...] = v_pred + jnp.sum(x_s[:, 1:, :] * lam_row, axis=1,
+                                    keepdims=True)
+
+
+def _fused_contact_tpu(a, qfrc, qvel, jf, target, mu, dt, iters, relax,
+                       interpret=False):
+    """Batched fused solve.  a (B,n,n), qfrc/qvel (B,n), jf (B,c,n) in block
+    row order, target (B,c), mu (B,k), dt scalar -> v_new (B,n)."""
+    from jax.experimental.pallas import tpu as pltpu
+    bsz, n, _ = a.shape
+    c = jf.shape[1]
+    k = c // 3
+    pad = (-bsz) % CLANES
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))], 0)
+        qfrc = jnp.concatenate([qfrc, jnp.zeros((pad, n), qfrc.dtype)], 0)
+        qvel = jnp.concatenate([qvel, jnp.zeros((pad, n), qvel.dtype)], 0)
+        jf = jnp.concatenate([jf, jnp.zeros((pad, c, n), jf.dtype)], 0)
+        target = jnp.concatenate([target, jnp.zeros((pad, c), target.dtype)], 0)
+        mu = jnp.concatenate([mu, jnp.zeros((pad, k), mu.dtype)], 0)
+    bp = a.shape[0]
+    rhs = jnp.concatenate([(qfrc * jnp.asarray(dt, a.dtype))[:, :, None],
+                           jf.transpose(0, 2, 1)], axis=2)  # (B,n,1+c)
+    at = a.transpose(1, 2, 0)
+    rt = rhs.transpose(1, 2, 0)
+    jt = jf.transpose(1, 2, 0)
+    tt = target[:, :, None].transpose(1, 2, 0)
+    mt = mu[:, :, None].transpose(1, 2, 0)
+    vt = qvel[:, :, None].transpose(1, 2, 0)
+
+    import functools as ft
+    out = pl.pallas_call(
+        ft.partial(_fused_contact_kernel, n=n, c=c, k=k, iters=iters,
+                   relax=relax),
+        grid=(bp // CLANES,),
+        in_specs=[pl.BlockSpec((n, n, CLANES), lambda i: (0, 0, i)),
+                  pl.BlockSpec((n, 1 + c, CLANES), lambda i: (0, 0, i)),
+                  pl.BlockSpec((c, n, CLANES), lambda i: (0, 0, i)),
+                  pl.BlockSpec((c, 1, CLANES), lambda i: (0, 0, i)),
+                  pl.BlockSpec((k, 1, CLANES), lambda i: (0, 0, i)),
+                  pl.BlockSpec((n, 1, CLANES), lambda i: (0, 0, i))],
+        out_specs=pl.BlockSpec((n, 1, CLANES), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((n, 1, bp), a.dtype),
+        interpret=interpret,
+        scratch_shapes=[pltpu.VMEM((n, n, CLANES), a.dtype),
+                        pltpu.VMEM((c, c, CLANES), a.dtype),
+                        pltpu.VMEM((n, 1 + c, CLANES), a.dtype)],
+    )(at, rt, jt, tt, mt, vt)
+    return out.transpose(2, 0, 1)[:bsz, :, 0]
+
+
+def _fused_contact_single(a, qfrc, qvel, jf, target, mu, dt, iters, relax):
+    """Stock-ops fallback with identical math (block row order)."""
+    c = jf.shape[0]
+    k = c // 3
+    sol = _spd_solve_single(a, jnp.concatenate([qfrc[:, None], jf.T], 1))
+    qacc, w = sol[:, 0], sol[:, 1:]
+    v_pred = qvel + dt * qacc
+    ac = jf @ w
+    b = jf @ v_pred
+    bhat = b - target
+    diag = jnp.sum(jnp.abs(ac), axis=-1) + 1e-9
+
+    def sweep(lam, _):
+        g = ac @ lam + bhat
+        lam = lam - relax * g / diag
+        ln = jnp.maximum(lam[2 * k:], 0.0)
+        lim = mu * ln
+        lx = jnp.clip(lam[:k], -lim, lim)
+        ly = jnp.clip(lam[k:2 * k], -lim, lim)
+        return jnp.concatenate([lx, ly, ln]), None
+
+    lam, _ = jax.lax.scan(sweep, jnp.zeros(c, a.dtype), None, length=iters)
+    return v_pred + w @ lam
+
+
+def make_fused_contact_solve(iters: int, relax: float):
+    """Build a custom-vmapped fused dynamics+contact solve for fixed solver
+    hyperparameters (static for the kernel)."""
+
+    @jax.custom_batching.custom_vmap
+    def fused(a, qfrc, qvel, jf, target, mu, dt):
+        return _fused_contact_single(a, qfrc, qvel, jf, target, mu, dt,
+                                     iters, relax)
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, a, qfrc, qvel, jf, target, mu, dt):
+        args = [a, qfrc, qvel, jf, target, mu]
+        for i, (arg, b) in enumerate(zip(args, in_batched[:6])):
+            if not b:
+                args[i] = jnp.broadcast_to(arg, (axis_size,) + arg.shape)
+        dt_v = dt if not in_batched[6] else dt[0]
+        on_tpu = any(d.platform == "tpu" for d in jax.devices()) or \
+            jax.default_backend() in ("tpu", "axon")
+        if on_tpu:
+            out = _fused_contact_tpu(*args, dt_v, iters, relax)
+        else:
+            out = jax.vmap(lambda a_, q_, v_, j_, t_, m_:
+                           _fused_contact_single(a_, q_, v_, j_, t_, m_,
+                                                 dt_v, iters, relax))(*args)
+        return out, True
+
+    return fused
