@@ -90,6 +90,7 @@ class Dataset:
                 self.mean = self.std = self.norm_trajs = None
             self.traj_dim = self.trajs[0].shape[1]
 
+        self._packed_reader = None
         self.sample_count = None
         self.take_indices = None
         self.cur_ind = self.cur_tid = self.cur_fr = None
@@ -132,8 +133,13 @@ class Dataset:
             return self._syn_of[take][start:end]
         packed = f"{self.of_folder}/{take}.npy"
         if os.path.exists(packed):
-            arr = np.load(packed, mmap_mode="r")
-            return np.asarray(arr[start:end])
+            if self._packed_reader is None:
+                from .fastload import PackedFlowReader
+                avail = {t: f"{self.of_folder}/{t}.npy" for t in self.takes
+                         if os.path.exists(f"{self.of_folder}/{t}.npy")}
+                self._packed_reader = PackedFlowReader(avail)
+            return self._packed_reader.read_batch([(take, start,
+                                                    end - start)])[0]
         return np.stack([np.load(f"{self.of_folder}/{take}/{i:05d}.npy")
                          for i in range(start, end)])
 
