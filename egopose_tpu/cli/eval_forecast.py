@@ -85,6 +85,14 @@ def main(argv=None):
         out30 = compute_metrics(results, "ego forecast", 30, cfg.fr_margin)
         out90 = compute_metrics(results, "ego forecast", 90, cfg.fr_margin)
         return {"horizon_30": out30, "horizon_90": out90}
+    elif args.mode == "vis":
+        from ..utils.render import render_qpos_video
+        take = list(results["traj_pred"].keys())[0]
+        out = res_path.replace(".p", ".mp4")
+        written = render_qpos_video([results["traj_pred"][take][0],
+                                     results["traj_orig"][take][0]], out)
+        print("wrote %s" % written)
+        return written
 
 
 if __name__ == "__main__":

@@ -88,7 +88,7 @@ def main(argv=None):
     dtype = np.float32
 
     dataset = Dataset(cfg.meta_id, args.data, cfg.fr_num, cfg.iter_method,
-                      cfg.shuffle, 2 * cfg.fr_margin,
+                      cfg.shuffle, 2 * cfg.fr_margin, cfg.num_sample,
                       synthetic=args.synthetic, seed=cfg.seed)
     state_dim = (dataset.traj_dim - 1) // 2 + 6 if cfg.pose_only \
         else dataset.traj_dim

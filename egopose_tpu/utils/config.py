@@ -229,6 +229,7 @@ class StateRegConfig(ConfigBase):
         self.batch_size = g("batch_size", 1)
         self.shuffle = g("shuffle", False)
         self.iter_method = g("iter_method", "iter")
+        self.num_sample = g("num_sample", 20000)
         self.fr_margin = g("fr_margin", 10)
         self.pose_only = g("pose_only", False)
         self.causal = g("causal", False)
