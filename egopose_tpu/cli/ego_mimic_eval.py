@@ -89,11 +89,37 @@ def main(argv=None):
     test_lens = lens - 2 * m
     t_max = int(test_lens.max())
 
-    # state-regression predictions (fallback: GT kinematics)
-    state_preds = np.stack([
-        np.pad(kinematic_state_pred(expert, i, m), ((0, 0), (0, 0)))
-        for i in range(n_takes)])
-    state_preds = jnp.asarray(state_preds, dtype)
+    # state-regression predictions from the trained inference net
+    # (ego_mimic_eval.py:70-78,121-122); falls back to GT kinematics when no
+    # statereg checkpoint exists (e.g. synthetic smoke runs)
+    state_net = None
+    if getattr(cfg, "state_net_cfg", None) and \
+            os.path.exists(getattr(cfg, "state_net_model", "")):
+        from ..models.video_reg_net import VideoRegNet
+        from ..utils.config import StateRegConfig
+        model_cp, sr_meta = pickle.load(open(cfg.state_net_model, "rb"))
+        sr_cfg = StateRegConfig(cfg.state_net_cfg, create_dirs=False)
+        sr_mean, sr_std = sr_meta["mean"], sr_meta["std"]
+        state_net = VideoRegNet(sr_mean.size, sr_cfg.v_hdim, sr_cfg.cnn_fdim,
+                                no_cnn=True, mlp_dim=tuple(sr_cfg.mlp_dim),
+                                cnn_type=sr_cfg.cnn_type,
+                                v_net_type=sr_cfg.v_net,
+                                v_net_param=sr_cfg.v_net_param,
+                                causal=sr_cfg.causal)
+        state_vars = model_cp["state_net_dict"]
+        logger.info("loaded state net from %s" % cfg.state_net_model)
+
+    if state_net is not None:
+        feats = jnp.asarray(cnn_feat, dtype).transpose(1, 0, 2)  # (T,B,F)
+        pred = np.asarray(state_net.apply(state_vars, feats, train=False))
+        pred = pred.transpose(1, 0, 2) * sr_std[None, None] \
+            + sr_mean[None, None]
+        # align to expert frame indexing (full-take prediction)
+        state_preds = jnp.asarray(pred, dtype)
+    else:
+        state_preds = jnp.asarray(np.stack([
+            kinematic_state_pred(expert, i, m) for i in range(n_takes)]),
+            dtype)
 
     # full-take video context (the eval path's fix_cnn_feat semantics:
     # set_fix_sampling with the whole take, ego_mimic_eval.py:115-120)
