@@ -35,6 +35,7 @@ class MobileNet(nn.Module):
                 (1024, 1)]
         for i, (oup, stride) in enumerate(plan):
             x = conv_dw(x, oup, stride, f"dw{i}")
-        x = nn.avg_pool(x, (7, 7))
-        x = x.reshape(x.shape[:-3] + (-1,))
+        # global average pool (equals the reference's AvgPool2d(7) for the
+        # 224x224 input it assumes, and generalizes to other resolutions)
+        x = x.mean(axis=(-3, -2))
         return nn.Dense(self.out_dim, name="fc")(x)
