@@ -78,7 +78,7 @@ class StepOut(NamedTuple):
                       "root_deheading", "env_episode_len", "fr_margin",
                       "env_start_first", "action_type", "frame_skip",
                       "reward_id", "reward_decay", "v_ord", "nq", "nv", "nu",
-                      "obs_dim", "contact"])
+                      "obs_dim", "contact", "random_cur_t"])
 @dataclasses.dataclass(frozen=True)
 class EnvParams:
     """Device-side environment configuration (subset of the YAML config the
@@ -97,6 +97,7 @@ class EnvParams:
     reward_id: str
     reward_decay: bool
     v_ord: int
+    random_cur_t: bool
     nq: int
     nv: int
     nu: int
@@ -284,7 +285,7 @@ def reset(model: PhysicsModel, p: EnvParams, tables: BodyTables,
     """Episode initialization mirroring reset_model (humanoid_v1.py:201-231):
     sample an expert take and start frame, initialize from the expert state
     with joint noise."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     n_expert = expert.qpos.shape[0]
     if fix_expert_ind is None:
         expert_ind = jax.random.randint(k1, (), 0, n_expert)
@@ -300,13 +301,20 @@ def reset(model: PhysicsModel, p: EnvParams, tables: BodyTables,
     else:
         start_ind = jnp.asarray(fix_start_ind)
 
-    qpos = expert.qpos[expert_ind, start_ind]
-    qvel = expert.qvel[expert_ind, start_ind]
+    # random_cur_t (humanoid_v1.py:218-220): start mid-episode; the expert
+    # index start_ind + cur_t keeps the same window contract
+    if p.random_cur_t and fix_start_ind is None:
+        cur_t0 = jax.random.randint(k4, (), 0, p.env_episode_len)
+    else:
+        cur_t0 = jnp.zeros((), jnp.int32)
+    init_ind = start_ind + cur_t0
+    qpos = expert.qpos[expert_ind, init_ind]
+    qvel = expert.qvel[expert_ind, init_ind]
     noise = p.env_init_noise * jax.random.normal(k3, (p.nq - 7,), qpos.dtype)
     qpos = qpos.at[7:].add(noise)
     bq = get_body_quat(tables, qpos)
     return EnvState(qpos=qpos, qvel=qvel,
-                    cur_t=jnp.zeros((), jnp.int32),
+                    cur_t=cur_t0.astype(jnp.int32),
                     expert_ind=expert_ind.astype(jnp.int32),
                     start_ind=start_ind.astype(jnp.int32),
                     prev_qpos=qpos, prev_bquat=bq, bquat=bq,

@@ -78,8 +78,11 @@ def rollout_segment(model, p: envs.EnvParams, tables, expert: envs.ExpertBatch,
 
     def reanchor(st: envs.EnvState, key) -> envs.EnvState:
         """Restart a failed lane from the expert pose at its current frame
-        (same take, same context window; env_init_noise on the joints)."""
-        ind = st.start_ind + st.cur_t
+        (same take, same context window; env_init_noise on the joints).
+        A random_cur_t 'end' mid-segment restarts at cur_t = 0."""
+        cur_t = jnp.where(st.cur_t >= p.env_episode_len,
+                          jnp.zeros((), jnp.int32), st.cur_t)
+        ind = st.start_ind + cur_t
         qpos = expert.qpos[st.expert_ind, ind]
         qvel = expert.qvel[st.expert_ind, ind]
         noise = p.env_init_noise * jax.random.normal(key, (p.nq - 7,),
@@ -87,7 +90,7 @@ def rollout_segment(model, p: envs.EnvParams, tables, expert: envs.ExpertBatch,
         qpos = qpos.at[7:].add(noise)
         bq = envs.get_body_quat(tables, qpos)
         return st._replace(qpos=qpos, qvel=qvel, prev_qpos=qpos,
-                           prev_bquat=bq, bquat=bq,
+                           prev_bquat=bq, bquat=bq, cur_t=cur_t,
                            done=jnp.zeros((), bool))
 
     def step_fn(carry, xs):
@@ -105,15 +108,17 @@ def rollout_segment(model, p: envs.EnvParams, tables, expert: envs.ExpertBatch,
         new_st, out = jax.vmap(
             lambda s, a: envs.step(model, p, tables, expert, s, a, end_reward)
         )(st, action)
-        # failed lanes restart from the expert at their current frame
+        # failed lanes restart from the expert at their current frame;
+        # with random_cur_t, mid-segment 'end' also restarts (new episode)
+        trigger = out.done if p.random_cur_t else out.fail
         anchor_keys = jax.random.split(k_anchor, batch)
         anchored = jax.vmap(reanchor)(new_st, anchor_keys)
         new_st = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
-                out.fail.reshape((batch,) + (1,) * (a.ndim - 1)), a, b),
+                trigger.reshape((batch,) + (1,) * (a.ndim - 1)), a, b),
             anchored, new_st)
 
-        next_obs = jnp.where(out.fail[:, None],
+        next_obs = jnp.where(trigger[:, None],
                              jax.vmap(lambda s: envs.observe(p, s))(new_st),
                              out.obs)
         zst = running_norm.push_batch(zst, next_obs)
@@ -126,7 +131,7 @@ def rollout_segment(model, p: envs.EnvParams, tables, expert: envs.ExpertBatch,
             valids=jnp.ones(batch, zobs.dtype),
             reward_info=out.reward_info,
             expert_ind=st.expert_ind, start_ind=st.start_ind,
-            fails=out.fail.astype(zobs.dtype))
+            fails=trigger.astype(zobs.dtype))
         return (new_st, next_zobs, zst), rec
 
     keys = jax.random.split(k_scan, t_len)

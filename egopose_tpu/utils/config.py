@@ -257,6 +257,7 @@ def make_env_params(cfg: EgoMimicConfig, spec: ModelSpec, obs_dim: int,
         env_episode_len=cfg.env_episode_len, fr_margin=cfg.fr_margin,
         env_start_first=cfg.env_start_first, action_type=cfg.action_type,
         frame_skip=15, reward_id=cfg.reward_id,
+        random_cur_t=bool(getattr(cfg, "random_cur_t", False)),
         reward_decay=bool(cfg.reward_weights.get("decay", False)),
         v_ord=cfg.reward_weights.get("v_ord", 2),
         nq=spec.nq, nv=spec.ndof, nu=spec.nu, obs_dim=obs_dim,

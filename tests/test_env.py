@@ -123,3 +123,25 @@ def test_batched_rollout_finite(world):
     assert np.isfinite(np.asarray(state.qpos)).all()
     # random actions should cause at least one episode failure
     assert np.asarray(dones).sum() > 0
+
+
+def test_random_cur_t_reset(world):
+    """random_cur_t (humanoid_v1.py:218-220): reset draws a mid-episode
+    cur_t; obs_phase reflects it."""
+    import dataclasses
+    spec, model, cfg, tables, p, expert = world
+    p2 = dataclasses.replace(p, random_cur_t=True, obs_phase=True,
+                             obs_dim=p.obs_dim + 1)
+    keys = jax.random.split(jax.random.PRNGKey(5), 32)
+    states = jax.vmap(lambda k: envs.reset(model, p2, tables, expert, k))(keys)
+    ts = np.asarray(states.cur_t)
+    assert ts.min() >= 0 and ts.max() < p.env_episode_len
+    assert len(np.unique(ts)) > 5  # actually random
+    obs = jax.vmap(lambda s: envs.observe(p2, s))(states)
+    assert obs.shape[-1] == p.obs_dim + 1
+    np.testing.assert_allclose(np.asarray(obs[:, -1]),
+                               ts / p.env_episode_len, atol=1e-6)
+    # fixed sampling still starts at 0
+    st = envs.reset(model, p2, tables, expert, keys[0], fix_expert_ind=0,
+                    fix_start_ind=20)
+    assert int(st.cur_t) == 0
