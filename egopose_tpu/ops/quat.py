@@ -176,3 +176,20 @@ def quat_integrate(q: jax.Array, omega_local: jax.Array, dt) -> jax.Array:
     Matches MuJoCo's mj_integratePos for free joints (angular velocity of a
     free joint's qvel is expressed in the child/body frame)."""
     return quat_normalize(quat_mul(q, quat_from_expmap(omega_local * dt)))
+
+
+def quat_slerp(q0: jax.Array, q1: jax.Array, t) -> jax.Array:
+    """Spherical linear interpolation between unit quaternions (the
+    transformations.quaternion_slerp the reference vendors), batched and
+    branch-free: takes the short arc, falls back to lerp near alignment."""
+    d = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(d < 0, -q1, q1)
+    d = jnp.abs(jnp.clip(d, -1.0, 1.0))
+    theta = jnp.arccos(d)
+    sin_theta = jnp.sin(theta)
+    near = sin_theta < 1e-6
+    w0 = jnp.where(near, 1.0 - t, jnp.sin((1.0 - t) * theta)
+                   / jnp.maximum(sin_theta, _EPS))
+    w1 = jnp.where(near, t, jnp.sin(t * theta)
+                   / jnp.maximum(sin_theta, _EPS))
+    return quat_normalize(w0 * q0 + w1 * q1)

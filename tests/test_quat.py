@@ -173,3 +173,15 @@ def test_normal_log_density():
     from scipy.stats import norm
     want = norm.logpdf(x, mean, np.exp(log_std)).sum(-1)
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_quat_slerp_matches_scipy():
+    from scipy.spatial.transform import Slerp
+    q = rand_quat(2)
+    for t in (0.0, 0.3, 0.7, 1.0):
+        got = np.asarray(Q.quat_slerp(jnp.array(q[0]), jnp.array(q[1]), t))
+        sl = Slerp([0, 1], R.from_quat(to_scipy(q)))
+        want = sl([t]).as_quat()[0]
+        want = np.concatenate([want[3:], want[:3]])
+        flip = np.sign(np.sum(got * want))
+        np.testing.assert_allclose(got * flip, want, atol=1e-9)
