@@ -7,8 +7,6 @@ import argparse
 import os
 import pickle
 
-import numpy as np
-
 
 def main(argv=None):
     parser = argparse.ArgumentParser()

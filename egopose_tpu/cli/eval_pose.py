@@ -6,7 +6,6 @@ a rendered video via the host-side MuJoCo renderer instead (headless)."""
 from __future__ import annotations
 
 import argparse
-import os
 import pickle
 
 import numpy as np

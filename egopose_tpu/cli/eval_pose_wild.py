@@ -7,8 +7,6 @@ import argparse
 import os
 import pickle
 
-import numpy as np
-
 
 def compute_wild_metrics(res, algo, takes, pose_ctx, meta, data_dir,
                          fr_margin, dt=1.0 / 30.0, verbose=True):

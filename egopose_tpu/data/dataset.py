@@ -9,7 +9,6 @@ synthetic mode serves generated data for end-to-end runs without the dataset.
 """
 from __future__ import annotations
 
-import math
 import os
 
 import numpy as np

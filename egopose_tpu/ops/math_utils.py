@@ -12,7 +12,6 @@ import jax.numpy as jnp
 from .quat import (
     quat_mul,
     quat_inv,
-    quat_conj,
     quat_normalize,
     quat_rotate_inv,
     rotvec_from_quat,

@@ -8,7 +8,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..models.mlp import MLP, torch_linear_init, torch_linear_bias_init
+from ..models.mlp import MLP, torch_linear_init
 
 
 def _scaled_init(scale):

@@ -21,7 +21,7 @@ import optax
 
 from ..ops.gae import estimate_advantages
 from .distributions import diag_gaussian_log_prob
-from .rollout import SegmentBatch, gather_windows
+from .rollout import SegmentBatch
 
 
 class PPOHyper(NamedTuple):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .. import envs
 from ..ops import running_norm
-from .distributions import diag_gaussian_log_prob, diag_gaussian_sample
+from .distributions import diag_gaussian_sample
 
 
 class SegmentBatch(NamedTuple):
