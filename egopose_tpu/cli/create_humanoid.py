@@ -24,8 +24,15 @@ def main(argv=None):
     out_id = args.out_id or ("humanoid_%s_orig" % args.mocap_id)
     os.makedirs("assets/mujoco_models", exist_ok=True)
     out = "assets/mujoco_models/%s.xml" % out_id
-    skeleton.write_xml(out)
-    print("wrote", out)
+    rel = "assets/mujoco_models/template/%s.xml" % args.template_id
+    pkg_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "..")
+    template = rel if os.path.exists(rel) else os.path.join(pkg_root, rel)
+    if not os.path.exists(template):
+        raise SystemExit(f"template not found: {rel} (generate it with "
+                         "egopose_tpu.physics.spec.write_vis_family)")
+    skeleton.write_xml(out, template_fname=template)
+    print("wrote", out, "from template", template)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,10 @@ def main(argv=None):
     parser.add_argument("--data", default="test")
     parser.add_argument("--mode", default="save")
     parser.add_argument("--gt-init", action="store_true", default=False)
-    parser.add_argument("--egomimic-iter", type=int, default=None)
+    parser.add_argument("--em-iter", "--egomimic-iter", type=int,
+                        dest="em_iter", default=None,
+                        help="ego-mimic eval results iteration to initialize "
+                             "windows from (default: cfg.ego_mimic_iter)")
     parser.add_argument("--synthetic", action="store_true", default=False)
     args = parser.parse_args(argv)
 
@@ -40,8 +43,9 @@ def main(argv=None):
     from .. import envs
     from ..ops import running_norm
     from ..rl.agent_forecast import make_forecast_agent, gather_past_windows
-    from ..utils.config import EgoForecastConfig
+    from ..utils.config import EgoForecastConfig, EgoMimicConfig
     from ..utils.log import create_logger
+    from ..utils.tools import sync_traj
     from .ego_mimic import build_world
 
     cfg = EgoForecastConfig(args.cfg, create_dirs=False)
@@ -79,6 +83,49 @@ def main(argv=None):
     n_lanes = len(lane_take)
     logger.info("%d forecast windows across %d takes" % (n_lanes, n_takes))
 
+    expert_qpos = np.asarray(expert.qpos)
+
+    # initialize each window from the ego-mimic estimation results, the
+    # paper's protocol (ego_forecast_eval.py:108-135): slice the estimation
+    # trajectory around the window, re-anchor its heading/xy to the expert at
+    # window_start - fr_margin (sync_traj), start the sim from the estimated
+    # state at the window start, and replay the fr_margin past frames of the
+    # estimate into traj_pred.  --gt-init keeps the ground-truth fallback.
+    em_init = not args.gt_init
+    if em_init:
+        em_cfg = EgoMimicConfig(cfg.ego_mimic_cfg, create_dirs=False)
+        em_iter = args.em_iter if args.em_iter is not None \
+            else (cfg.ego_mimic_iter or 0)
+        em_path = "%s/iter_%04d_%s.p" % (em_cfg.result_dir, em_iter,
+                                         args.data)
+        if not os.path.exists(em_path):
+            raise SystemExit(
+                f"estimation results not found at {em_path}; run "
+                "ego_mimic_eval first (or pass --gt-init)")
+        em_res, _ = pickle.load(open(em_path, "rb"))
+        em_offset = em_cfg.fr_margin
+        logger.info("initializing windows from estimation results %s"
+                    % em_path)
+        init_qpos = np.zeros((n_lanes, p.nq), np.float64)
+        init_qvel = np.zeros((n_lanes, p.nv), np.float64)
+        margin_rows = np.zeros((n_lanes, m, p.nq), np.float64)
+        for li in range(n_lanes):
+            i, s = int(lane_take[li]), int(lane_start[li])
+            take = takes[i] if i < len(takes) else f"take_{i}"
+            lo = max(0, s - m - em_offset)
+            sp = np.asarray(em_res["traj_pred"][take][lo:s + test_len
+                                                      - em_offset])
+            vp = np.asarray(em_res["vel_pred"][take][lo:s + test_len
+                                                     - em_offset])
+            miss = m + test_len - sp.shape[0]
+            if s - m - em_offset >= 0:
+                sp, vp = sync_traj(sp, vp, expert_qpos[i, s - m])
+            ind = m - miss
+            init_qpos[li], init_qvel[li] = sp[ind], vp[ind]
+            for t in range(-m, 0):
+                margin_rows[li, t + m] = expert_qpos[i, s + t] \
+                    if t + m < miss else sp[t + m - miss]
+
     ts = agent.train_state
     zstat = agent.zstat
     policy_apply = agent._applies[0]
@@ -92,13 +139,18 @@ def main(argv=None):
                             method=policy_vs.encode_video)
 
     def init_state(i, s):
-        # gt init: start from the expert state at the window start
-        # (the reference's em-results init path needs estimation results;
-        # sync_traj re-anchoring is applied host-side when they exist)
         return envs.reset(model, p, tables, expert, jax.random.PRNGKey(0),
                           fix_expert_ind=i, fix_start_ind=s)
 
     state0 = jax.vmap(init_state)(lane_take_j, lane_start_j)
+    if em_init:
+        def set_lane(st, qp, qv):
+            bq = envs.get_body_quat(tables, qp)
+            return st._replace(qpos=qp, qvel=qv, prev_qpos=qp,
+                               prev_bquat=bq, bquat=bq)
+
+        state0 = jax.vmap(set_lane)(state0, jnp.asarray(init_qpos, dtype),
+                                    jnp.asarray(init_qvel, dtype))
     s_carry0 = policy_vs.s_init_carry((n_lanes,), jnp.float32)
 
     def step_fn(carry, t):
@@ -120,15 +172,15 @@ def main(argv=None):
     n_fail = int(np.asarray(fails).sum())
     logger.info("window failures: %d" % n_fail)
 
-    # assemble per-take stacked windows incl. the margin of past GT frames
-    expert_qpos = np.asarray(expert.qpos)
+    # assemble per-take stacked windows incl. the margin of past frames
+    # (estimation-result frames under em init, GT under --gt-init)
     traj_pred_dict, traj_orig_dict = {}, {}
     for i in range(n_takes):
         sel = np.where(lane_take == i)[0]
         preds, origs = [], []
         for li in sel:
             s = lane_start[li]
-            past = expert_qpos[i, s - m:s]
+            past = margin_rows[li] if em_init else expert_qpos[i, s - m:s]
             pred = np.vstack([past, qpos_traj[:, li]])
             orig = expert_qpos[i, s - m:s + test_len]
             preds.append(pred)

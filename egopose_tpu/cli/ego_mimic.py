@@ -78,6 +78,10 @@ def main(argv=None):
     parser.add_argument("--iter", type=int, default=0)
     parser.add_argument("--show-noise", action="store_true", default=False)
     parser.add_argument("--batch-lanes", type=int, default=1024)
+    parser.add_argument("--dp-devices", type=int, default=None,
+                        help="data-parallel device count: shard rollout lanes "
+                             "and update batches over an N-device mesh "
+                             "(params replicated; errors if fewer devices)")
     parser.add_argument("--max-iter", type=int, default=None)
     parser.add_argument("--synthetic", action="store_true", default=False)
     parser.add_argument("--f64", action="store_true", default=False)
@@ -116,14 +120,41 @@ def main(argv=None):
     logger.info(f"devices: {jax.devices()}  lanes: {args.batch_lanes}  "
                 f"experts: {expert.qpos.shape}")
 
+    mesh = None
+    if args.dp_devices is not None:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.dp_devices)
+        logger.info(f"data-parallel mesh over {args.dp_devices} devices")
+
     agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
-                     batch_lanes=args.batch_lanes, seed=cfg.seed, dtype=dtype)
+                     batch_lanes=args.batch_lanes, seed=cfg.seed, dtype=dtype,
+                     mesh=mesh)
     if args.iter > 0:
         cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
         logger.info("loading model from checkpoint: %s" % cp_path)
         agent.load(cp_path)
 
     key = jax.random.PRNGKey(cfg.seed)
+
+    if args.render:
+        # the reference's --render samples and visualizes rollouts instead of
+        # training (ego_mimic.py:103-110); headless analogue: one mean-action
+        # (or noisy, --show-noise) segment saved as a viewer replay
+        batch, log = agent.sample(key, cfg.min_batch_size,
+                                  mean_action=not args.show_noise)
+        logger.info("render sample: %d steps, R_avg %.4f"
+                    % (log.num_steps, log.avg_c_reward))
+        out = "%s/render_iter_%04d.npz" % (cfg.result_dir, args.iter)
+        os.makedirs(cfg.result_dir, exist_ok=True)
+        # states are z-filtered obs; save per-lane reward curves instead
+        np.savez_compressed(out,
+                            rewards=np.asarray(batch.rewards),
+                            actions=np.asarray(batch.actions),
+                            expert_ind=np.asarray(batch.expert_ind),
+                            start_ind=np.asarray(batch.start_ind))
+        logger.info("saved rollout sample to %s" % out)
+        return agent
+
     max_iter = args.max_iter if args.max_iter is not None else cfg.max_iter_num
 
     for i_iter in range(args.iter, max_iter):

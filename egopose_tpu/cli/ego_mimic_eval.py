@@ -122,11 +122,21 @@ def main(argv=None):
             dtype)
 
     # full-take video context (the eval path's fix_cnn_feat semantics:
-    # set_fix_sampling with the whole take, ego_mimic_eval.py:115-120)
-    v_out_p = agent.policy_vs_net.apply(agent.train_state.policy_vs,
-                                        jnp.asarray(cnn_feat, dtype))
-    v_out_v = agent.value_vs_net.apply(agent.train_state.value_vs,
-                                       jnp.asarray(cnn_feat, dtype))
+    # set_fix_sampling with the whole take, ego_mimic_eval.py:115-120).
+    # --causal limits the context to fr_margin frames of lookahead per step
+    # (online inference, ego_mimic_eval.py:143-145)
+    feats = jnp.asarray(cnn_feat, dtype)
+    if args.causal:
+        v_out_p = agent.policy_vs_net.apply(
+            agent.train_state.policy_vs, feats,
+            method=agent.policy_vs_net.causal_encode)
+        v_out_v = agent.value_vs_net.apply(
+            agent.train_state.value_vs, feats,
+            method=agent.value_vs_net.causal_encode)
+    else:
+        v_out_p = agent.policy_vs_net.apply(agent.train_state.policy_vs,
+                                            feats)
+        v_out_v = agent.value_vs_net.apply(agent.train_state.value_vs, feats)
 
     policy_apply, _, value_apply, _ = agent._applies
     ts = agent.train_state
@@ -157,16 +167,47 @@ def main(argv=None):
     state0 = jax.vmap(init_state)(take_idx)
     fix_head_lb = 0.3 if args.fail_safe == "naivefs" else None
 
+    # sync_expert bookkeeping (humanoid_v1.py:254-262): every
+    # sync_exp_interval steps re-anchor the expert's heading/xy to the sim's
+    # drifted frame; used to express traj_orig in the sim frame (--sync,
+    # ego_mimic_eval.py:136-138)
+    sync_interval = int(getattr(cfg, "sync_exp_interval", 100))
+
+    def sync_update(sim_qpos, e_qpos):
+        rel_h = Q.quat_mul(M.get_heading_q(sim_qpos[3:7]),
+                           Q.quat_inv(M.get_heading_q(e_qpos[3:7])))
+        start_p = e_qpos[:3]
+        sim_p = jnp.concatenate([sim_qpos[:2], e_qpos[2:3]])
+        return rel_h, start_p, sim_p
+
+    def sync_apply(e_qpos, rel_h, start_p, sim_p):
+        pos = Q.quat_rotate(rel_h, e_qpos[:3] - start_p) + sim_p
+        quat = Q.quat_mul(rel_h, e_qpos[3:7])
+        return jnp.concatenate([pos, quat, e_qpos[7:]])
+
     def step_fn(carry, t):
-        st, vstat_n, vstat_mean, n_reset = carry
+        st, vstat_n, vstat_mean, n_reset, (rel_h, start_p, sim_p) = carry
         active = t < jnp.asarray(test_lens)
+
+        e_qpos_t = expert.qpos[take_idx, m + t]
+        do_sync = (t % sync_interval) == 0
+        new_anchor = jax.vmap(sync_update)(st.qpos, e_qpos_t)
+        rel_h, start_p, sim_p = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_sync, a, b),
+            new_anchor, (rel_h, start_p, sim_p))
+        epos_sync = jax.vmap(sync_apply)(e_qpos_t, rel_h, start_p, sim_p)
 
         qpos_rec, qvel_rec = st.qpos, st.qvel
         obs = jax.vmap(lambda s: envs.observe(p, s))(st)
         zobs = running_norm.apply(zstat, obs, clip=5.0)
         pin = jnp.concatenate([v_out_p[:, t], zobs], -1)
         vin = jnp.concatenate([v_out_v[:, t], zobs], -1)
-        action, _ = policy_apply(ts.policy, pin)
+        action, log_std = policy_apply(ts.policy, pin)
+        if args.show_noise:  # sampled instead of mean actions
+            from ..rl.distributions import diag_gaussian_sample
+            action = diag_gaussian_sample(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), t),
+                action, log_std)
         value = value_apply(ts.value, vin)
         vstat_n = vstat_n + active
         vstat_mean = vstat_mean + jnp.where(active,
@@ -195,31 +236,47 @@ def main(argv=None):
                 active.reshape((n_takes,) + (1,) * (a.ndim - 1)), a, b),
             new_st, st)
         n_reset = n_reset + trigger.astype(jnp.int32)
-        return (new_st, vstat_n, vstat_mean, n_reset), \
-            (qpos_rec, qvel_rec, out.reward)
+        return (new_st, vstat_n, vstat_mean, n_reset,
+                (rel_h, start_p, sim_p)), \
+            (qpos_rec, qvel_rec, out.reward, epos_sync)
 
+    anchor0 = (jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (n_takes, 1)),
+               jnp.zeros((n_takes, 3), dtype), jnp.zeros((n_takes, 3), dtype))
     carry0 = (state0, jnp.zeros(n_takes), jnp.zeros(n_takes),
-              jnp.zeros(n_takes, jnp.int32))
-    (stf, _, _, n_reset), (qpos_traj, qvel_traj, rewards) = jax.lax.scan(
-        step_fn, carry0, jnp.arange(t_max))
+              jnp.zeros(n_takes, jnp.int32), anchor0)
+    (stf, _, _, n_reset, _), (qpos_traj, qvel_traj, rewards, epos_sync_traj) \
+        = jax.lax.scan(step_fn, carry0, jnp.arange(t_max))
 
     qpos_traj = np.asarray(qpos_traj)  # (T, B, nq)
     qvel_traj = np.asarray(qvel_traj)
     n_reset = np.asarray(n_reset)
 
-    traj_pred, traj_orig, vel_pred = {}, {}, {}
+    epos_sync_traj = np.asarray(epos_sync_traj)
+    traj_pred, traj_orig, vel_pred, orig_sync = {}, {}, {}, {}
     for i in range(n_takes):
         take = takes[i] if i < len(takes) else f"take_{i}"
         tl = int(test_lens[i])
         traj_pred[take] = qpos_traj[:tl, i]
         vel_pred[take] = qvel_traj[:tl, i]
         traj_orig[take] = np.asarray(expert.qpos[i, m:m + tl])
+        orig_sync[take] = epos_sync_traj[:tl, i]
         logger.info("take %s: len %d resets %d avg reward %.4f"
                     % (take, tl, n_reset[i],
                        float(np.asarray(rewards)[:tl, i].mean())))
 
     results = {"traj_pred": traj_pred, "traj_orig": traj_orig,
                "vel_pred": vel_pred}
+    if args.sync:
+        # expert re-expressed in the sim's drifted frame (sync_expert +
+        # ego_mimic_eval.py:136-138); consumed by the viewer
+        results["traj_orig_synced"] = orig_sync
+    if args.render:
+        from ..utils.render import save_replay
+        vis_path = "%s/iter_%04d_%s_replay.npz" % (cfg.result_dir, args.iter,
+                                                   args.data)
+        save_replay(vis_path, traj_pred,
+                    orig_sync if args.sync else traj_orig)
+        logger.info("saved replay for the viewer to %s" % vis_path)
     meta = {"algo": "ego_mimic", "num_reset": int(n_reset.sum())}
     fs_tag = "" if args.fail_safe == "valuefs" else "_" + args.fail_safe
     c_tag = "_causal" if args.causal else ""

@@ -86,13 +86,26 @@ def main(argv=None):
         out90 = compute_metrics(results, "ego forecast", 90, cfg.fr_margin)
         return {"horizon_30": out30, "horizon_90": out90}
     elif args.mode == "vis":
-        from ..utils.render import render_qpos_video
-        take = list(results["traj_pred"].keys())[0]
-        out = res_path.replace(".p", ".mp4")
-        written = render_qpos_video([results["traj_pred"][take][0],
-                                     results["traj_orig"][take][0]], out)
-        print("wrote %s" % written)
-        return written
+        # interactive viewer: q/e steps the forecast window, z/c the take
+        # (eval_forecast.py vis mode); video fallback when headless
+        algos = [("ego forecast",
+                  {take: {"pred": results["traj_pred"][take],
+                          "orig": results["traj_orig"][take]}
+                   for take in results["traj_pred"]})]
+        try:
+            from ..envs.visual import TrajectoryViewer
+            TrajectoryViewer(
+                "assets/mujoco_models/humanoid_1205_vis_double_v1.xml",
+                algos).run()
+        except Exception as e:
+            print("no display (%s) -- writing video instead" % e)
+            from ..utils.render import render_qpos_video
+            take = list(results["traj_pred"].keys())[0]
+            out = res_path.replace(".p", ".mp4")
+            written = render_qpos_video([results["traj_pred"][take][0],
+                                         results["traj_orig"][take][0]], out)
+            print("wrote %s" % written)
+            return written
 
 
 if __name__ == "__main__":

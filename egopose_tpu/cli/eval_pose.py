@@ -64,6 +64,11 @@ def main(argv=None):
     parser.add_argument("--statereg-iter", type=int, default=0)
     parser.add_argument("--algo", default="ego_mimic")
     parser.add_argument("--tag", default="")
+    parser.add_argument("--multi", action="store_true", default=False,
+                        help="vis: time-staggered multi-humanoid puppeting")
+    parser.add_argument("--vis-model", default="humanoid_1205_vis_double_v1")
+    parser.add_argument("--multi-vis-model",
+                        default="humanoid_1205_vis_multi_v1")
     args = parser.parse_args(argv)
 
     from ..utils.log import create_logger
@@ -82,12 +87,35 @@ def main(argv=None):
     if args.mode == "stats":
         return compute_stats(results, logger=logger)
     elif args.mode == "vis":
-        from ..utils.render import render_qpos_video
-        out = res_path.replace(".p", ".mp4")
-        take = list(results["traj_pred"].keys())[0]
-        written = render_qpos_video([results["traj_pred"][take],
-                                     results["traj_orig"][take]], out)
-        logger.info("wrote %s" % written)
+        # interactive viewer over both result sets (keys 1=ego mimic,
+        # 2=state reg; eval_pose.py:186-189); video fallback when headless
+        def to_viewer(res):
+            return {take: {"pred": res["traj_pred"][take],
+                           "orig": res["traj_orig"].get(take)}
+                    for take in res["traj_pred"]}
+
+        algos = [("ego mimic" if args.algo == "ego_mimic" else "state reg",
+                  to_viewer(results))]
+        other_path = None
+        if args.algo == "ego_mimic" and args.statereg_cfg:
+            other_path = "results/statereg/%s/results/iter_%04d_%s.p" % (
+                args.statereg_cfg, args.statereg_iter, args.data)
+        if other_path:
+            other, _ = pickle.load(open(other_path, "rb"))
+            algos.append(("state reg", to_viewer(other)))
+        xml = "assets/mujoco_models/%s.xml" % (
+            args.multi_vis_model if args.multi else args.vis_model)
+        try:
+            from ..envs.visual import TrajectoryViewer
+            TrajectoryViewer(xml, algos).run()
+        except Exception as e:
+            logger.info("no display (%s) -- writing video instead" % e)
+            from ..utils.render import render_qpos_video
+            out = res_path.replace(".p", ".mp4")
+            take = list(results["traj_pred"].keys())[0]
+            written = render_qpos_video([results["traj_pred"][take],
+                                         results["traj_orig"][take]], out)
+            logger.info("wrote %s" % written)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,10 @@ def main(argv=None):
     parser.add_argument("--iter", type=int, default=0)
     parser.add_argument("--synthetic", action="store_true", default=False)
     parser.add_argument("--max-epoch", type=int, default=None)
+    parser.add_argument("--batch-chunks", type=int, default=None,
+                        help="chunks per training batch (batch axis of the "
+                             "(T,B,...) net input); default cfg.batch_size "
+                             "or 4")
     args = parser.parse_args(argv)
     if args.data is None:
         args.data = args.mode if args.mode in {"train", "test"} else "train"
@@ -129,16 +133,26 @@ def main(argv=None):
     if args.mode == "train":
         tx = optax.adam(cfg.lr)
         opt_state = tx.init(variables["params"])
+        # batch chunks on the (T,B,...) batch axis: the reference trains one
+        # chunk at a time (state_reg.py:66-76), which starves the MXU; >=4
+        # keeps the conv/LSTM batched (SURVEY §7.4.7)
+        n_chunks = args.batch_chunks or \
+            (cfg.batch_size if cfg.batch_size > 1 else 4)
+        logger.info("training with %d chunks per batch" % n_chunks)
+        drop_key = jax.random.PRNGKey(cfg.seed + 1)
 
         @jax.jit
-        def train_step(variables, opt_state, of, gt, mask):
+        def train_step(variables, opt_state, of, gt, mask, step):
+            """One step over a (T, B, ...) batch of B chunks.  The mask is
+            (T', B) so variable-length tail chunks and zero-padded batch
+            slots contribute nothing to the loss."""
             def loss_fn(params):
                 vs = {**variables, "params": params}
                 pred, updates = net.apply(
                     vs, of, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": jax.random.PRNGKey(0)})
-                pred = pred[fr_margin:-fr_margin, 0]
-                err = ((gt - pred) ** 2 * mask[:, None]).sum(-1)
+                    rngs={"dropout": jax.random.fold_in(drop_key, step)})
+                pred = pred[fr_margin:-fr_margin]
+                err = ((gt - pred) ** 2 * mask[..., None]).sum(-1)
                 return err.sum() / jnp.maximum(mask.sum(), 1.0), updates
             (loss, updates), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(variables["params"])
@@ -147,28 +161,75 @@ def main(argv=None):
             new_vars = {**variables, "params": params, **updates}
             return new_vars, opt_state, loss
 
-        max_epoch = args.max_epoch or cfg.num_epoch
-        for i_epoch in range(args.iter, max_epoch):
-            t0 = time.time()
-            n_sample, ep_loss = 0, 0.0
+        gt_len = chunk_max - 2 * fr_margin
+
+        def host_batches():
+            """Stack n_chunks dataset chunks on the batch axis; zero-mask
+            padding keeps shapes static (one compile).  Runs on a prefetch
+            thread so host I/O overlaps device compute."""
+            buf = []
             for of_np, traj_np, _ in dataset:
                 num = traj_np.shape[0] - 2 * fr_margin
                 if num <= 0:
                     continue
                 of, _ = prepare_of(of_np, chunk_max, dtype)
-                gt = np.zeros((chunk_max - 2 * fr_margin, state_dim), dtype)
+                gt = np.zeros((gt_len, state_dim), dtype)
                 gt[:num] = traj_np[fr_margin:-fr_margin, :state_dim]
-                mask = np.zeros(chunk_max - 2 * fr_margin, dtype)
+                mask = np.zeros(gt_len, dtype)
                 mask[:num] = 1.0
+                buf.append((of[:, 0], gt, mask, num))
+                if len(buf) == n_chunks:
+                    yield buf
+                    buf = []
+            if buf:
+                pad = buf[0]
+                buf += [(pad[0], pad[1], np.zeros_like(pad[2]), 0)] \
+                    * (n_chunks - len(buf))
+                yield buf
+
+        def device_batches():
+            import queue
+            import threading
+            q = queue.Queue(maxsize=2)
+
+            def worker():
+                try:
+                    for buf in host_batches():
+                        of = jax.device_put(np.stack([b[0] for b in buf], 1))
+                        gt = jax.device_put(np.stack([b[1] for b in buf], 1))
+                        mask = jax.device_put(np.stack([b[2] for b in buf], 1))
+                        q.put((of, gt, mask, sum(b[3] for b in buf)))
+                finally:
+                    q.put(None)
+
+            threading.Thread(target=worker, daemon=True).start()
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+
+        max_epoch = args.max_epoch or cfg.num_epoch
+        step = 0
+        for i_epoch in range(args.iter, max_epoch):
+            t0 = time.time()
+            n_sample, losses, counts = 0, [], []
+            for of, gt, mask, num in device_batches():
                 variables, opt_state, loss = train_step(
-                    variables, opt_state, jnp.asarray(of), jnp.asarray(gt),
-                    jnp.asarray(mask))
-                ep_loss += float(loss) * num
+                    variables, opt_state, of, gt, mask, step)
+                step += 1
+                losses.append(loss)  # device array: don't block the pipeline
+                counts.append(num)
                 n_sample += num
-            ep_loss /= max(n_sample, 1)
-            logger.info("epoch {:4d}    time {:.2f}     nsample {}   loss {:.4f}"
-                        .format(i_epoch, time.time() - t0, n_sample, ep_loss))
+            ep_loss = float(sum(float(l) * c for l, c in
+                                zip(losses, counts)) / max(n_sample, 1))
+            dt_ep = time.time() - t0
+            logger.info("epoch {:4d}    time {:.2f}     nsample {}   "
+                        "loss {:.4f}   frames/s {:.1f}"
+                        .format(i_epoch, dt_ep, n_sample, ep_loss,
+                                n_sample / max(dt_ep, 1e-9)))
             tb.scalar("loss", ep_loss, i_epoch)
+            tb.scalar("frames_per_sec", n_sample / max(dt_ep, 1e-9), i_epoch)
             if cfg.save_model_interval > 0 and \
                     (i_epoch + 1) % cfg.save_model_interval == 0:
                 cp_path = "%s/iter_%04d.p" % (cfg.model_dir, i_epoch + 1)

@@ -1,7 +1,14 @@
-"""AMC/BVH frame loading + resampling (mirrors /root/reference/mocap/pose.py)."""
-from __future__ import annotations
+"""AMC/BVH frame loading + resampling.
 
-import math
+Behavior-compatible with /root/reference/mocap/pose.py (same bone_addr
+layout, same unit conventions) but structured differently: both loaders are
+two-phase -- build a column layout once, then convert all frames with
+vectorized numpy ops -- instead of the reference's per-line/per-frame python
+loops.  Unit conventions preserved: root translation length-scaled, all
+angles degrees->radians, AMC per-bone value order reversed (the AMC file
+stores channels rz..rx while the skeleton's dof order is rx..rz).
+"""
+from __future__ import annotations
 
 import numpy as np
 
@@ -9,66 +16,69 @@ from .bvh import Bvh
 
 
 def load_amc_file(fname, scale):
-    """AMC frame loader (pose.py:7-42)."""
+    """Parse an AMC motion file -> (poses (T, dof), bone_addr).
+
+    Frames are delimited by integer marker lines; each following line is
+    ``bone v1 v2 ...``.  Values are collected per bone across all frames and
+    converted in one vectorized pass per bone.
+    """
+    per_bone: dict[str, list[list[float]]] = {}
+    order: list[str] = []
+    in_motion = False
     with open(fname) as f:
-        content = f.readlines()
-    bone_addr = {}
-    poses = []
-    cur_pos = None
-    fr = 1
-    for line in content:
-        words = line.split()
-        if not words:
-            continue
-        cmd = words[0]
-        if cmd == str(fr):
-            if cur_pos:
-                poses.append(np.array(cur_pos))
-            cur_pos = []
-            fr += 1
-        elif cur_pos is not None:
-            start_ind = len(cur_pos)
-            if cmd == "root":
-                cur_pos += [float(w) * scale for w in words[1:4]]
-                cur_pos += [math.radians(float(w)) for w in words[4:]]
-            elif cmd in ("lfoot", "rfoot"):
-                vals = list(reversed([math.radians(float(w))
-                                      for w in words[1:]]))
-                cur_pos += vals
-                if len(cur_pos) < 3:
-                    cur_pos.insert(-1, 0.0)
-            else:
-                cur_pos += reversed([math.radians(float(w))
-                                     for w in words[1:]])
-            if fr == 2:
-                bone_addr[cmd] = (start_ind, len(cur_pos))
-    if cur_pos:
-        poses.append(np.array(cur_pos))
-    return np.vstack(poses), bone_addr
+        for ln in f:
+            w = ln.split()
+            if not w or w[0].startswith((":", "#")):
+                continue
+            if w[0].lstrip("-").isdigit():
+                in_motion = True
+                continue
+            if not in_motion:
+                continue
+            vals = [float(x) for x in w[1:]]
+            if w[0] not in per_bone:
+                per_bone[w[0]] = []
+                order.append(w[0])
+            per_bone[w[0]].append(vals)
+
+    segments, bone_addr, col = [], {}, 0
+    for name in order:
+        arr = np.asarray(per_bone[name], dtype=float)
+        if name == "root":
+            # 3 translation values (length-scaled) + euler angles in degrees
+            seg = np.hstack([arr[:, :3] * scale, np.radians(arr[:, 3:])])
+        else:
+            # file stores rz..rx; skeleton dof order is rx..rz -> reverse
+            seg = np.radians(arr[:, ::-1])
+        segments.append(seg)
+        bone_addr[name] = (col, col + seg.shape[1])
+        col += seg.shape[1]
+    return np.hstack(segments), bone_addr
 
 
 def load_bvh_file(fname, skeleton):
-    """BVH frame loader against a Skeleton's channel layout (pose.py:45-70)."""
+    """Load BVH motion frames re-ordered to a Skeleton's channel layout.
+
+    One gather: a column-permutation from the BVH's global channel order to
+    the skeleton's per-bone order, applied to the whole (T, channels) frame
+    block at once.
+    """
     with open(fname) as f:
         mocap = Bvh(f.read())
-    bone_addr = {}
-    start_ind = 0
+
+    cols, bone_addr, start = [], {}, 0
     for bone in skeleton.bones:
-        end_ind = start_ind + len(bone.channels)
-        bone_addr[bone.name] = (start_ind, end_ind)
-        start_ind = end_ind
-    poses = np.zeros((mocap.nframes, start_ind))
-    for i in range(mocap.nframes):
-        for bone in skeleton.bones:
-            trans = np.array(mocap.frame_joint_channels(i, bone.name,
-                                                        bone.channels))
-            if bone is skeleton.root:
-                trans[:3] *= skeleton.len_scale
-                trans[3:6] = np.deg2rad(trans[3:6])
-            else:
-                trans = np.deg2rad(trans)
-            s, e = bone_addr[bone.name]
-            poses[i, s:e] = trans
+        j = mocap.get_joint(bone.name)
+        cols.extend(j.channel_offset + j.channels.index(ch)
+                    for ch in bone.channels)
+        bone_addr[bone.name] = (start, start + len(bone.channels))
+        start += len(bone.channels)
+
+    raw = np.asarray(mocap.frames, dtype=float)[:, cols]
+    poses = np.radians(raw)
+    # the root's leading 3 channels are translation: length-scale, not angle
+    s, _ = bone_addr[skeleton.root.name]
+    poses[:, s:s + 3] = raw[:, s:s + 3] * skeleton.len_scale
     return poses, bone_addr
 
 
@@ -77,14 +87,12 @@ def lin_interp(pose1, pose2, t):
 
 
 def interpolated_traj(poses, sample_t=0.030, mocap_fr=120):
-    """Linear resampling to dt (pose.py:78-91)."""
+    """Resample a (T, dof) trajectory to ``sample_t`` spacing by linear
+    interpolation between the two nearest source frames (vectorized)."""
     n = poses.shape[0]
-    total = float(n - 1) / mocap_fr
-    num = int(math.floor(total / sample_t))
-    times = np.arange(num + 1) * sample_t * mocap_fr
-    out = []
-    for t in times:
-        start = int(math.floor(t))
-        end = min(int(math.ceil(t)), n - 1)
-        out.append(lin_interp(poses[start], poses[end], t - math.floor(t)))
-    return np.vstack(out)
+    num = int(np.floor((n - 1) / mocap_fr / sample_t))
+    t = np.arange(num + 1) * (sample_t * mocap_fr)
+    lo = np.floor(t).astype(int)
+    hi = np.minimum(np.ceil(t).astype(int), n - 1)
+    w = (t - lo)[:, None]
+    return (1 - w) * poses[lo] + w * poses[hi]

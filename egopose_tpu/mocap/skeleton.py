@@ -8,7 +8,6 @@ load both in our JAX engine and in the installed MuJoCo C library.
 from __future__ import annotations
 
 import math
-import re
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -56,82 +55,100 @@ class Skeleton:
         self.dof_name = ["x", "y", "z"]
         self.root = None
 
-    # -- ASF (skeleton.py:44-119) -------------------------------------------
-    def load_from_asf(self, fname, swap_axes=False):
+    # -- ASF ------------------------------------------------------------------
+    # Behavior-compatible with /root/reference/mocap/skeleton.py:44-119 but
+    # organized as section splitting + per-block field dicts instead of a
+    # line-by-line phase machine.
+    @staticmethod
+    def _asf_sections(fname):
+        """Split an ASF file into {':keyword' -> [lines]} sections."""
+        sections, cur = {}, None
         with open(fname) as f:
-            content = f.readlines()
+            for ln in f:
+                s = ln.strip()
+                if not s or s.startswith("#"):
+                    continue
+                if s.startswith(":"):
+                    parts = s.split(None, 1)
+                    cur = parts[0][1:]
+                    sections[cur] = []
+                    if len(parts) > 1:
+                        sections[cur].append(parts[1])
+                elif cur is not None:
+                    sections[cur].append(s)
+        return sections
+
+    @staticmethod
+    def _asf_blocks(lines):
+        """begin/end delimited blocks -> list of tokenized lines each."""
+        blk = None
+        for line in lines:
+            w = line.split()
+            if w[0] == "begin":
+                blk = []
+            elif w[0] == "end":
+                yield blk
+                blk = None
+            elif blk is not None:
+                blk.append(w)
+
+    def load_from_asf(self, fname, swap_axes=False):
+        sections = self._asf_sections(fname)
+
+        for line in sections.get("units", []):
+            w = line.split()
+            if w[0] == "mass":
+                self.mass_scale = float(w[1])
+            elif w[0] == "length":
+                self.len_scale = 1 / float(w[1]) * 0.0254
+
+        self.root = Bone()
+        self.root.id = 0
+        self.root.name = "root"
+        self.name2bone["root"] = self.root
+        self.bones.append(self.root)
+
         dof_ind = {"rx": 0, "ry": 1, "rz": 2}
-        phase = 0
-        lastbone = None
-        setting_limit = False
-        for line in content:
-            words = line.split()
-            if not words:
+        for blk in self._asf_blocks(sections.get("bonedata", [])):
+            bone = Bone()
+            fields, limits = {}, []
+            for w in blk:
+                if w[0] == "limits":
+                    limits.append(w[1:])
+                elif w[0].startswith("(") and limits:
+                    limits.append(w)  # continuation limit rows
+                else:
+                    fields[w[0]] = w[1:]
+            bone.id = len(self.bones)
+            bone.name = fields["name"][0]
+            bone.dir = np.array([float(x) for x in fields["direction"][:3]])
+            bone.len = float(fields["length"][0]) * self.len_scale
+            if "axis" in fields:
+                a = [math.radians(float(x)) for x in fields["axis"][:3]]
+                bone.orient = _euler_matrix_sxyz(*a)
+            # the skeleton's dof order is the reverse of the file's
+            bone.dof_index = [dof_ind[d] for d in reversed(fields.get("dof", []))
+                              if d in dof_ind]
+            for pair in limits:  # "( -20.0 20.0 )"-style ranges, file order
+                bone.lb.append(float(pair[0].lstrip("(")))
+                bone.ub.append(float(pair[1].rstrip(")")))
+            if swap_axes:  # y-up ASF -> z-up
+                bone.dir[1], bone.dir[2] = -bone.dir[2], bone.dir[1]
+                orient = bone.orient.copy()
+                bone.orient[1, :], bone.orient[2, :] = \
+                    -orient[2, :], orient[1, :]
+            self.bones.append(bone)
+            self.name2bone[bone.name] = bone
+
+        for line in sections.get("hierarchy", []):
+            w = line.split()
+            if w[0] in ("begin", "end"):
                 continue
-            cmd = words[0]
-            if cmd == ":root":
-                phase = 0
-                self.root = Bone()
-                self.root.id = 0
-                self.root.name = "root"
-                self.name2bone["root"] = self.root
-                self.bones.append(self.root)
-                continue
-            if cmd == ":bonedata":
-                phase = 1
-                continue
-            if cmd == ":hierarchy":
-                phase = 2
-                continue
-            if phase == 0:
-                if cmd == "mass":
-                    self.mass_scale = float(words[1])
-                elif cmd == "length":
-                    self.len_scale = 1 / float(words[1]) * 0.0254
-            elif phase == 1:
-                if cmd == "begin":
-                    lastbone = Bone()
-                    self.bones.append(lastbone)
-                elif cmd == "end":
-                    setting_limit = False
-                    lastbone = None
-                elif cmd == "id":
-                    lastbone.id = len(self.bones) - 1
-                elif cmd == "name":
-                    lastbone.name = words[1]
-                    self.name2bone[lastbone.name] = lastbone
-                elif cmd == "direction":
-                    for i in range(3):
-                        lastbone.dir[i] = float(words[i + 1])
-                    if swap_axes:
-                        lastbone.dir[1], lastbone.dir[2] = \
-                            -lastbone.dir[2], lastbone.dir[1]
-                elif cmd == "length":
-                    lastbone.len = float(words[1]) * self.len_scale
-                elif cmd == "axis":
-                    a = [math.radians(float(w)) for w in words[1:4]]
-                    lastbone.orient = _euler_matrix_sxyz(*a)
-                    if swap_axes:
-                        orient = lastbone.orient.copy()
-                        lastbone.orient[1, :], lastbone.orient[2, :] = \
-                            -orient[2, :], orient[1, :]
-                elif cmd == "dof":
-                    for word in reversed(words[1:]):
-                        if word in dof_ind:
-                            lastbone.dof_index.append(dof_ind[word])
-                elif cmd == "limits" or setting_limit:
-                    lastbone.lb.append(float(re.sub(r"[(]", " ",
-                                                    words[1 - setting_limit])))
-                    lastbone.ub.append(float(re.sub(r"[)]", " ",
-                                                    words[2 - setting_limit])))
-                    setting_limit = True
-            elif phase == 2:
-                if cmd not in ("begin", "end"):
-                    bone_p = self.name2bone[words[0]]
-                    for child_name in words[1:]:
-                        bone_c = self.name2bone[child_name]
-                        bone_p.child.append(bone_c)
-                        bone_c.parent = bone_p
+            parent = self.name2bone[w[0]]
+            for child_name in w[1:]:
+                child = self.name2bone[child_name]
+                parent.child.append(child)
+                child.parent = parent
         self.forward_asf(self.root)
 
     def forward_asf(self, bone):
@@ -199,24 +216,41 @@ class Skeleton:
 
     # -- MJCF emission (local coordinates; skeleton.py:179-255) --------------
     def write_xml(self, fname, template_fname=None, offset=np.zeros(3)):
-        root = ET.Element("mujoco", {"model": "humanoid"})
-        ET.SubElement(root, "compiler",
-                      {"angle": "degree", "inertiafromgeom": "true"})
-        default = ET.SubElement(root, "default")
-        ET.SubElement(default, "joint", {"damping": "0.0", "armature": "0.01",
-                                         "stiffness": "0.0",
-                                         "limited": "true"})
-        ET.SubElement(default, "geom", {"conaffinity": "7", "condim": "1",
-                                        "contype": "7", "margin": "0.001",
-                                        "rgba": "0.8 0.6 .4 1"})
-        ET.SubElement(root, "option", {"timestep": "0.00222222222"})
-        worldbody = ET.SubElement(root, "worldbody")
-        ET.SubElement(worldbody, "geom", {
-            "name": "floor", "type": "plane", "condim": "3",
-            "friction": "1. .1 .1", "pos": "0 0 0", "size": "100 100 .2"})
+        """Emit the humanoid MJCF, optionally filling a template's worldbody/
+        actuator sections (the reference's template mechanism,
+        skeleton.py:179-189 + create_humanoid.py template_file)."""
+        if template_fname is not None:
+            tree_in = ET.parse(template_fname)
+            root = tree_in.getroot()
+            comp = root.find("compiler")
+            if comp is not None and "coordinate" in comp.attrib:
+                # we emit local coordinates (MuJoCo >= 2.3.4 dropped global)
+                del comp.attrib["coordinate"]
+            worldbody = root.find("worldbody")
+            if worldbody is None:
+                worldbody = ET.SubElement(root, "worldbody")
+            actuators = root.find("actuator")
+            if actuators is None:
+                actuators = ET.SubElement(root, "actuator")
+        else:
+            root = ET.Element("mujoco", {"model": "humanoid"})
+            ET.SubElement(root, "compiler",
+                          {"angle": "degree", "inertiafromgeom": "true"})
+            default = ET.SubElement(root, "default")
+            ET.SubElement(default, "joint", {"damping": "0.0",
+                                             "armature": "0.01",
+                                             "stiffness": "0.0",
+                                             "limited": "true"})
+            ET.SubElement(default, "geom", {"conaffinity": "7", "condim": "1",
+                                            "contype": "7", "margin": "0.001",
+                                            "rgba": "0.8 0.6 .4 1"})
+            ET.SubElement(root, "option", {"timestep": "0.00222222222"})
+            worldbody = ET.SubElement(root, "worldbody")
+            ET.SubElement(worldbody, "geom", {
+                "name": "floor", "type": "plane", "condim": "3",
+                "friction": "1. .1 .1", "pos": "0 0 0", "size": "100 100 .2"})
+            actuators = ET.SubElement(root, "actuator")
         self._write_bodynode(self.root, worldbody, offset)
-
-        actuators = ET.SubElement(root, "actuator")
         for body in worldbody.iter("body"):
             for joint in body.findall("joint"):
                 if joint.get("type") == "free":
@@ -227,6 +261,7 @@ class Skeleton:
         tree = ET.ElementTree(root)
         ET.indent(tree)
         tree.write(fname)
+        return fname
 
     def _write_bodynode(self, bone, parent_node, parent_pos):
         fmt3 = lambda v: "{:.4f} {:.4f} {:.4f}".format(*v)

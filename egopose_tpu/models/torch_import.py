@@ -86,16 +86,148 @@ def import_value(state_dict):
     }}
 
 
-def import_video_state_net(state_dict, bi_dir=True):
-    """models/video_state_net.py (lstm variant) -> VideoStateNet params."""
-    sd = _as_np(state_dict)
-    return {"params": {"v_net": import_rnn(sd, "v_net.", bi_dir)}}
+def _conv2d_t(w):
+    """torch Conv2d weight (out, in/g, kh, kw) -> flax kernel (kh, kw, in/g, out).
+    Also correct for depthwise convs (groups=in): (in,1,kh,kw)->(kh,kw,1,in)."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
 
-def import_video_forecast_net(state_dict, has_s_net=True):
-    """models/video_forecast_net.py (lstm variant) -> VideoForecastNet."""
+def _conv1d_t(w):
+    """torch Conv1d weight (out, in, k) -> flax kernel (k, in, out)."""
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
+def import_bn(sd, key):
+    """torch BatchNorm -> flax (params, batch_stats) pair."""
+    params = {"scale": np.asarray(sd[f"{key}.weight"]),
+              "bias": np.asarray(sd[f"{key}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{key}.running_mean"]),
+             "var": np.asarray(sd[f"{key}.running_var"])}
+    return params, stats
+
+
+def import_resnet18(sd, prefix="resnet."):
+    """torchvision resnet18 (wrapped by models/resnet.py with a replaced fc)
+    -> our ResNet18 (params, batch_stats)."""
+    params, stats = {}, {}
+    params["conv1"] = {"kernel": _conv2d_t(sd[f"{prefix}conv1.weight"])}
+    params["bn1"], stats["bn1"] = import_bn(sd, f"{prefix}bn1")
+    for li in range(1, 5):
+        for b in range(2):
+            tp = f"{prefix}layer{li}.{b}."
+            bp, bs = {}, {}
+            for c in ("conv1", "conv2"):
+                bp[c] = {"kernel": _conv2d_t(sd[f"{tp}{c}.weight"])}
+            for c in ("bn1", "bn2"):
+                bp[c], bs[c] = import_bn(sd, f"{tp}{c}")
+            if f"{tp}downsample.0.weight" in sd:
+                bp["down_conv"] = {
+                    "kernel": _conv2d_t(sd[f"{tp}downsample.0.weight"])}
+                bp["down_bn"], bs["down_bn"] = import_bn(
+                    sd, f"{tp}downsample.1")
+            name = f"layer{li}_{b}"
+            params[name], stats[name] = bp, bs
+    params["fc"] = import_linear(sd, f"{prefix}fc")
+    return params, stats
+
+
+def import_mobile_net(sd, prefix=""):
+    """models/mobile_net.py (Sequential conv_bn + 13 conv_dw + fc)
+    -> our MobileNet (params, batch_stats)."""
+    params, stats = {}, {}
+    params["c0_conv"] = {"kernel": _conv2d_t(sd[f"{prefix}model.0.0.weight"])}
+    params["c0_bn"], stats["c0_bn"] = import_bn(sd, f"{prefix}model.0.1")
+    for i in range(13):
+        mp = f"{prefix}model.{i + 1}."
+        params[f"dw{i}_dw"] = {"kernel": _conv2d_t(sd[f"{mp}0.weight"])}
+        params[f"dw{i}_dwbn"], stats[f"dw{i}_dwbn"] = import_bn(sd, f"{mp}1")
+        params[f"dw{i}_pw"] = {"kernel": _conv2d_t(sd[f"{mp}3.weight"])}
+        params[f"dw{i}_pwbn"], stats[f"dw{i}_pwbn"] = import_bn(sd, f"{mp}4")
+    params["fc"] = import_linear(sd, f"{prefix}fc")
+    return params, stats
+
+
+def import_tcn(sd, prefix):
+    """Weight-norm TemporalConvNet (models/tcn.py) -> our TCN params.
+
+    torch weight_norm stores direction `weight_v` (out,in,k) + per-output-
+    channel magnitude `weight_g` (out,1,1) with w = g * v/||v|| (norm over all
+    dims but 0).  flax nn.WeightNorm stores the raw kernel (k,in,out) as the
+    direction and a (out,)-shaped scale with the same math (norm over all axes
+    but -1), so: kernel = v.T, scale = g.ravel() -- exact, not approximate.
+    """
+    params = {}
+    i = 0
+    while f"{prefix}network.{i}.conv1.weight_v" in sd:
+        blk = {}
+        for j, c in enumerate(("conv1", "conv2")):
+            kp = f"{prefix}network.{i}.{c}"
+            blk[c] = {"kernel": _conv1d_t(sd[f"{kp}.weight_v"]),
+                      "bias": np.asarray(sd[f"{kp}.bias"])}
+            blk[f"WeightNorm_{j}"] = {
+                f"{c}/kernel/scale": np.asarray(sd[f"{kp}.weight_g"]).reshape(-1)}
+        dk = f"{prefix}network.{i}.downsample"
+        if f"{dk}.weight" in sd:
+            blk["downsample"] = {"kernel": _conv1d_t(sd[f"{dk}.weight"]),
+                                 "bias": np.asarray(sd[f"{dk}.bias"])}
+        params[f"block{i}"] = blk
+        i += 1
+    if i == 0:
+        raise KeyError(f"no TCN blocks under '{prefix}network.'")
+    return params
+
+
+def import_v_net(sd, prefix, v_net_type, bi_dir):
+    """Temporal net of a video model: lstm or weight-norm tcn."""
+    if v_net_type == "tcn":
+        return import_tcn(sd, prefix)
+    return import_rnn(sd, prefix, bi_dir)
+
+
+def import_video_reg_net(state_dict, cnn_type="resnet", v_net_type="lstm",
+                         causal=False):
+    """models/video_reg_net.py state_dict -> VideoRegNet flax variables
+    ({'params': ..., 'batch_stats': ...}).  Handles both full checkpoints
+    (with CNN) and no_cnn inference nets (state_reg.py save_inf)."""
     sd = _as_np(state_dict)
-    params = {"v_net": import_rnn(sd, "v_net.", bi_dir=False)}
+    params, stats = {}, {}
+    if any(k.startswith("cnn.") for k in sd):
+        if cnn_type == "resnet":
+            cp, cs = import_resnet18(sd, "cnn.resnet.")
+        else:
+            cp, cs = import_mobile_net(sd, "cnn.")
+        params["cnn"], stats["cnn"] = cp, cs
+    params["v_net"] = import_v_net(sd, "v_net.", v_net_type,
+                                   bi_dir=not causal)
+    params["mlp"] = import_mlp(sd, "mlp.")
+    params["linear"] = import_linear(sd, "linear")
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def import_statereg_checkpoint(cp, cnn_type="resnet", v_net_type="lstm",
+                               causal=False):
+    """Reference statereg pickle ((model_cp, meta), state_reg.py:91-95)
+    -> (flax variables, mean, std)."""
+    model_cp, meta = cp
+    variables = import_video_reg_net(model_cp["state_net_dict"], cnn_type,
+                                     v_net_type, causal)
+    return variables, np.asarray(meta["mean"]), np.asarray(meta["std"])
+
+
+def import_video_state_net(state_dict, bi_dir=True, v_net_type="lstm"):
+    """models/video_state_net.py -> VideoStateNet params (lstm or tcn)."""
+    sd = _as_np(state_dict)
+    return {"params": {
+        "v_net": import_v_net(sd, "v_net.", v_net_type, bi_dir)}}
+
+
+def import_video_forecast_net(state_dict, has_s_net=True, v_net_type="lstm"):
+    """models/video_forecast_net.py -> VideoForecastNet (lstm or tcn v_net)."""
+    sd = _as_np(state_dict)
+    params = {"v_net": import_v_net(sd, "v_net.", v_net_type, bi_dir=False)}
     if has_s_net and any(k.startswith("s_net.") for k in sd):
         params["s_net"] = import_rnn(sd, "s_net.", bi_dir=False)
     return {"params": params}
@@ -111,14 +243,14 @@ def import_running_state(running_state):
                        s=jnp.asarray(rs._S))
 
 
-def import_mimic_checkpoint(model_cp, bi_dir=True):
+def import_mimic_checkpoint(model_cp, bi_dir=True, v_net_type="lstm"):
     """Full ego-mimic checkpoint dict -> our TrainState fields."""
     return {
         "policy_dict": import_policy_gaussian(model_cp["policy_dict"]),
         "policy_vs_dict": import_video_state_net(model_cp["policy_vs_dict"],
-                                                 bi_dir),
+                                                 bi_dir, v_net_type),
         "value_dict": import_value(model_cp["value_dict"]),
         "value_vs_dict": import_video_state_net(model_cp["value_vs_dict"],
-                                                bi_dir),
+                                                bi_dir, v_net_type),
         "running_state": import_running_state(model_cp["running_state"]),
     }

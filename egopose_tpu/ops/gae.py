@@ -29,12 +29,17 @@ def estimate_advantages(rewards, masks, values, gamma, tau,
         body, (jnp.zeros_like(values[0]), jnp.zeros_like(values[0])),
         (rewards, masks, values), reverse=True)
     returns = values + advantages
+    # normalization matches the reference exactly: torch .std() is the
+    # sample std (ddof=1) over all steps (core/common.py:22); with ``valid``
+    # the statistics are restricted to real transitions
     if valid is None:
+        n = advantages.size
         mean = advantages.mean()
-        std = advantages.std()
+        var = jnp.sum((advantages - mean) ** 2)
     else:
-        w = valid / jnp.maximum(valid.sum(), 1.0)
-        mean = jnp.sum(advantages * w)
-        std = jnp.sqrt(jnp.maximum(jnp.sum(w * (advantages - mean) ** 2), 1e-12))
+        n = jnp.maximum(valid.sum(), 2.0)
+        mean = jnp.sum(advantages * valid) / n
+        var = jnp.sum(valid * (advantages - mean) ** 2)
+    std = jnp.sqrt(jnp.maximum(var / (n - 1), 1e-12))
     advantages = (advantages - mean) / std
     return advantages, returns

@@ -14,8 +14,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """Build an n-device 1-D mesh.  Raises if the host has fewer devices than
+    requested: silently truncating would let "multi-chip ok" claims pass on a
+    1-device mesh having verified nothing."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devs)} device(s) visible "
+                f"({[d.platform for d in devs]}); for a virtual CPU mesh set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                'jax.config.update("jax_platforms", "cpu") before first jax use')
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -38,11 +38,30 @@ class AgentEgo:
 
     def __init__(self, model, spec, params: envs.EnvParams, tables,
                  expert: envs.ExpertBatch, cnn_feat, cfg, batch_lanes=1024,
-                 seed=1, dtype=jnp.float32):
+                 seed=1, dtype=jnp.float32, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` for data-parallel training
+        -- rollout lanes and update batches are sharded on the mesh's first
+        axis, parameters/statistics replicated; XLA inserts the ICI
+        collectives.  The distributed replacement for the reference's
+        fork-based worker pool (agents/agent.py:93-105)."""
         self.model, self.spec, self.p, self.tables = model, spec, params, tables
         self.expert, self.cnn_feat = expert, jnp.asarray(cnn_feat, dtype)
         self.cfg = cfg
         self.batch_lanes = batch_lanes
+        self.mesh = mesh
+        self._lane_shard = None
+        if mesh is not None:
+            from ..parallel import mesh as meshlib
+            n_dev = len(list(mesh.devices.flat))
+            if batch_lanes % n_dev != 0:
+                raise ValueError(
+                    f"batch_lanes={batch_lanes} not divisible by mesh size "
+                    f"{n_dev}")
+            axis = mesh.axis_names[0]
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._lane_shard = NamedSharding(mesh, PartitionSpec(axis))
+            self.expert = meshlib.replicate(mesh, self.expert)
+            self.cnn_feat = meshlib.replicate(mesh, self.cnn_feat)
         self.end_reward = 0.0
         self.noise_rate = 1.0
         cnn_fdim = int(self.cnn_feat.shape[-1])
@@ -84,6 +103,10 @@ class AgentEgo:
         self.hyper = ppo.PPOHyper(gamma=cfg.gamma, tau=cfg.tau,
                                   clip_epsilon=cfg.clip_epsilon,
                                   num_epochs=cfg.num_optim_epoch)
+        if mesh is not None:
+            from ..parallel import mesh as meshlib
+            self.train_state = meshlib.replicate(mesh, self.train_state)
+            self.zstat = meshlib.replicate(mesh, self.zstat)
 
         policy_apply = lambda p, x: self.policy_net.apply(p, x)
         value_apply = lambda p, x: self.value_net.apply(p, x)
@@ -101,19 +124,31 @@ class AgentEgo:
 
         self._ctx_applies = (pctx_apply, vctx_apply)
 
+        lane_shard = self._lane_shard
+
         def sample_fn(p_env, expert_arg, cnn_arg, p_pol, p_pvs, zstat, key,
                       noise_rate, mean_action, end_reward):
             return rollout.rollout_segment(
                 model, p_env, tables, expert_arg, cnn_arg,
                 policy_apply, p_pol, pvs_apply, p_pvs, zstat, key,
-                batch_lanes, noise_rate, mean_action, end_reward)
+                batch_lanes, noise_rate, mean_action, end_reward,
+                lane_shard=lane_shard)
 
         self._sample_fn = jax.jit(sample_fn, static_argnames=("mean_action",))
 
-        def update_fn(ts, batch, windows):
+        # optional shuffled-minibatch PPO (agent_ppo.py:24-43): cfg counts
+        # steps, our slices are lane-grained -> lanes per minibatch
+        mbs = getattr(cfg, "mini_batch_size", None)
+        self.mini_batch_lanes = 0
+        if mbs and mbs < batch_lanes * params.env_episode_len:
+            self.mini_batch_lanes = max(1, int(mbs) // params.env_episode_len)
+        self._update_key = jax.random.PRNGKey(seed + 17)
+
+        def update_fn(ts, batch, windows, key):
             return ppo.ppo_update(ts, self.opt_p, self.opt_v, self.hyper,
                                   batch, windows, policy_apply, pctx_apply,
-                                  value_apply, vctx_apply)
+                                  value_apply, vctx_apply, key=key,
+                                  mini_batch_lanes=self.mini_batch_lanes)
 
         self._update_fn = jax.jit(update_fn)
 
@@ -135,6 +170,9 @@ class AgentEgo:
     def sample(self, key, min_batch_size, mean_action=False):
         import time
         t0 = time.time()
+        if self.mesh is not None:
+            from ..parallel import mesh as meshlib
+            key = meshlib.replicate(self.mesh, key)
         per_seg = self.batch_lanes * self.p.env_episode_len
         n_seg = max(1, int(np.ceil(min_batch_size / per_seg)))
         segs = []
@@ -180,8 +218,12 @@ class AgentEgo:
         windows = rollout.gather_windows(
             self.cnn_feat, batch.expert_ind, batch.start_ind,
             self.p.fr_margin, self.p.env_episode_len)
+        self._update_key, sub = jax.random.split(self._update_key)
+        if self.mesh is not None:
+            from ..parallel import mesh as meshlib
+            sub = meshlib.replicate(self.mesh, sub)
         self.train_state, metrics = self._update_fn(self.train_state, batch,
-                                                    windows)
+                                                    windows, sub)
         return {k: float(v) for k, v in metrics.items()}
 
     # -- checkpointing (pickle, mirroring the reference's naming) ------------
@@ -205,13 +247,18 @@ class AgentEgo:
         self.load_checkpoint(cp)
 
     def load_checkpoint(self, cp):
+        if self.mesh is not None:
+            from ..parallel import mesh as meshlib
+            put = lambda tree: meshlib.replicate(self.mesh, tree)
+        else:
+            put = jax.device_put
         ts = self.train_state
         self.train_state = ts._replace(
-            policy=jax.device_put(cp["policy_dict"]),
-            policy_vs=jax.device_put(cp["policy_vs_dict"]),
-            value=jax.device_put(cp["value_dict"]),
-            value_vs=jax.device_put(cp["value_vs_dict"]))
+            policy=put(cp["policy_dict"]),
+            policy_vs=put(cp["policy_vs_dict"]),
+            value=put(cp["value_dict"]),
+            value_vs=put(cp["value_vs_dict"]))
         rs = cp["running_state"]
-        self.zstat = running_norm.RunningStat(
+        self.zstat = put(running_norm.RunningStat(
             n=jnp.asarray(rs.n), mean=jnp.asarray(rs.mean),
-            s=jnp.asarray(rs.s))
+            s=jnp.asarray(rs.s)))

@@ -226,18 +226,20 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
 
     agent._sample_fn = jax.jit(sample_fn, static_argnames=("mean_action",))
 
-    def update_fn(ts, batch, windows):
+    def update_fn(ts, batch, windows, key):
         return ppo.ppo_update(ts, agent.opt_p, agent.opt_v, agent.hyper,
                               batch, windows, policy_apply, pctx_apply,
-                              value_apply, vctx_apply)
+                              value_apply, vctx_apply, key=key,
+                              mini_batch_lanes=agent.mini_batch_lanes)
 
     agent._update_fn = jax.jit(update_fn)
 
     def update_params(batch):
         windows = gather_past_windows(agent.cnn_feat, batch.expert_ind,
                                       batch.start_ind, params.fr_margin)
+        agent._update_key, sub = jax.random.split(agent._update_key)
         agent.train_state, metrics = agent._update_fn(agent.train_state,
-                                                      batch, windows)
+                                                      batch, windows, sub)
         return {k: float(v) for k, v in metrics.items()}
 
     agent.update_params = update_params

@@ -61,32 +61,42 @@ def make_optimizers(policy_lr, value_lr, grad_clip=40.0,
 def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
                batch: SegmentBatch, windows: jax.Array,
                policy_apply: Callable, policy_ctx_apply: Callable,
-               value_apply: Callable, value_ctx_apply: Callable):
+               value_apply: Callable, value_ctx_apply: Callable,
+               key: jax.Array | None = None, mini_batch_lanes: int = 0):
     """Run num_epochs PPO epochs on one sampled batch.
 
     batch arrays are time-major (T, B, ...); windows (B, W, feat).
     ``*_ctx_apply(params_vs, windows, states) -> (T, B, in_dim)`` builds the
     full network input from the video context and the recorded states (the
     trans_policy/trans_value hooks of agent_ego.py:28-32, batched).
+
+    ``mini_batch_lanes > 0`` enables the reference's optional shuffled
+    minibatch path (agent_ppo.py:24-43), re-designed lane-grained: each epoch
+    permutes the lanes and takes one critic+policy step per ``mini_batch_
+    lanes``-lane slice (static shapes, scan over slices).  Pre-update
+    advantages/log-probs stay full-batch, exactly like the reference.
+    Requires ``key`` for the shuffles.
+
     Returns (new TrainState, metrics dict).
     """
     t_len, bsz = batch.rewards.shape
     valid = batch.valids
     n_valid = jnp.maximum(valid.sum(), 1.0)
 
-    def policy_logprob(p_policy, p_vs, actions):
-        pin = policy_ctx_apply(p_vs, windows, batch.states)
+    def policy_logprob(p_policy, p_vs, states, win, actions):
+        pin = policy_ctx_apply(p_vs, win, states)
         mean, log_std = policy_apply(p_policy, pin)
         return diag_gaussian_log_prob(actions, mean, log_std)
 
-    def values_of(p_value, p_vs):
-        vin = value_ctx_apply(p_vs, windows, batch.states)
+    def values_of(p_value, p_vs, states, win):
+        vin = value_ctx_apply(p_vs, win, states)
         return value_apply(p_value, vin)                 # (T,B)
 
-    # pre-update quantities
-    fixed_log_probs = jax.lax.stop_gradient(
-        policy_logprob(ts.policy, ts.policy_vs, batch.actions))
-    values = jax.lax.stop_gradient(values_of(ts.value, ts.value_vs))
+    # pre-update quantities (full batch, agent_pg.py:48-53)
+    fixed_log_probs = jax.lax.stop_gradient(policy_logprob(
+        ts.policy, ts.policy_vs, batch.states, windows, batch.actions))
+    values = jax.lax.stop_gradient(
+        values_of(ts.value, ts.value_vs, batch.states, windows))
     advantages, returns = estimate_advantages(
         batch.rewards, batch.masks, values, hyper.gamma, hyper.tau,
         valid=valid)
@@ -96,30 +106,32 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
     exp_w = batch.exps * valid
     n_exp = jnp.maximum(exp_w.sum(), 1.0)
 
-    def value_loss_fn(params):
-        p_value, p_vs = params
-        v = values_of(p_value, p_vs)
-        return jnp.sum(((v - returns) ** 2) * valid) / n_valid
+    def opt_step(ts, d):
+        """One critic + policy step on a (possibly sliced) data tuple."""
+        states, actions, win, flp, adv, ret, val, expw = d
+        nv = jnp.maximum(val.sum(), 1.0)
+        ne = jnp.maximum(expw.sum(), 1.0)
 
-    def policy_loss_fn(params):
-        p_policy, p_vs = params
-        log_probs = policy_logprob(p_policy, p_vs, batch.actions)
-        ratio = jnp.exp(log_probs - fixed_log_probs)
-        surr1 = ratio * advantages
-        surr2 = jnp.clip(ratio, 1.0 - hyper.clip_epsilon,
-                         1.0 + hyper.clip_epsilon) * advantages
-        return -jnp.sum(jnp.minimum(surr1, surr2) * exp_w) / n_exp
+        def value_loss_fn(params):
+            p_value, p_vs = params
+            v = values_of(p_value, p_vs, states, win)
+            return jnp.sum(((v - ret) ** 2) * val) / nv
 
-    def epoch(carry, _):
-        ts = carry
-        # critic step(s)
+        def policy_loss_fn(params):
+            p_policy, p_vs = params
+            log_probs = policy_logprob(p_policy, p_vs, states, win, actions)
+            ratio = jnp.exp(log_probs - flp)
+            surr1 = ratio * adv
+            surr2 = jnp.clip(ratio, 1.0 - hyper.clip_epsilon,
+                             1.0 + hyper.clip_epsilon) * adv
+            return -jnp.sum(jnp.minimum(surr1, surr2) * expw) / ne
+
         vparams = (ts.value, ts.value_vs)
         ovs = ts.opt_value
         for _ in range(hyper.value_opt_niter):
             vloss, vgrad = jax.value_and_grad(value_loss_fn)(vparams)
             upd, ovs = opt_v.update(vgrad, ovs, vparams)
             vparams = optax.apply_updates(vparams, upd)
-        # policy step
         pparams = (ts.policy, ts.policy_vs)
         ploss, pgrad = jax.value_and_grad(policy_loss_fn)(pparams)
         upd, ops_ = opt_p.update(pgrad, ts.opt_policy, pparams)
@@ -129,8 +141,32 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
                         opt_policy=ops_, opt_value=ovs)
         return ts, (ploss, vloss)
 
-    ts, (plosses, vlosses) = jax.lax.scan(epoch, ts, None,
-                                          length=hyper.num_epochs)
+    full = (batch.states, batch.actions, windows, fixed_log_probs,
+            advantages, returns, valid, exp_w)
+
+    if mini_batch_lanes and mini_batch_lanes < bsz:
+        assert key is not None, "mini-batch PPO needs an rng key"
+        mb = int(mini_batch_lanes)
+        n_mb = bsz // mb
+
+        def slice_lanes(idx):
+            states, actions, win, flp, adv, ret, val, expw = full
+            return (states[:, idx], actions[:, idx], win[idx], flp[:, idx],
+                    adv[:, idx], ret[:, idx], val[:, idx], expw[:, idx])
+
+        def epoch(ts, ke):
+            perm = jax.random.permutation(ke, bsz)[:n_mb * mb]
+            ts, (pl, vl) = jax.lax.scan(
+                lambda c, idx: opt_step(c, slice_lanes(idx)),
+                ts, perm.reshape(n_mb, mb))
+            return ts, (pl[-1], vl[-1])
+
+        ts, (plosses, vlosses) = jax.lax.scan(
+            epoch, ts, jax.random.split(key, hyper.num_epochs))
+    else:
+        ts, (plosses, vlosses) = jax.lax.scan(
+            lambda c, _: opt_step(c, full), ts, None,
+            length=hyper.num_epochs)
     metrics = {"policy_loss": plosses[-1], "value_loss": vlosses[-1],
                "n_valid": n_valid, "n_exp": n_exp}
     return ts, metrics

@@ -60,12 +60,21 @@ def rollout_segment(model, p: envs.EnvParams, tables, expert: envs.ExpertBatch,
                     zstat: running_norm.RunningStat,
                     key: jax.Array, batch: int, noise_rate,
                     mean_action: bool = False, end_reward=0.0,
-                    z_clip: float = 5.0):
+                    z_clip: float = 5.0, lane_shard=None):
     """Sample one synchronized segment of `env_episode_len` steps from
-    ``batch`` lanes.  Returns (SegmentBatch, new_zstat)."""
+    ``batch`` lanes.  Returns (SegmentBatch, new_zstat).
+
+    ``lane_shard``: optional ``NamedSharding`` whose first axis is the data
+    axis of a device mesh.  Constraining the per-lane reset keys seeds GSPMD's
+    propagation so the whole rollout (env states, policy evals, recorded
+    segment) is partitioned lane-wise across the mesh -- the data-parallel
+    replacement for the reference's worker fan-out (agents/agent.py:93-105).
+    """
     t_len = p.env_episode_len
     k_reset, k_scan = jax.random.split(key)
     reset_keys = jax.random.split(k_reset, batch)
+    if lane_shard is not None:
+        reset_keys = jax.lax.with_sharding_constraint(reset_keys, lane_shard)
     state = jax.vmap(lambda k: envs.reset(model, p, tables, expert, k))(reset_keys)
 
     windows = gather_windows(cnn_feat, state.expert_ind, state.start_ind,

@@ -114,6 +114,9 @@ class EgoMimicConfig(ConfigBase):
         self.fix_std = g("fix_std", False)
         self.num_optim_epoch = g("num_optim_epoch", 10)
         self.min_batch_size = g("min_batch_size", 50000)
+        # optional shuffled-minibatch PPO (agent_ppo.py:24-43); steps per
+        # minibatch, None/absent = full-batch epochs
+        self.mini_batch_size = g("mini_batch_size", None)
         self.max_iter_num = g("max_iter_num", 1000)
         self.save_model_interval = g("save_model_interval", 100)
         self.reward_id = g("reward_id", "quat_v3")

@@ -52,6 +52,19 @@ def render_qpos_video(trajs, out_path, fps=30, res=(640, 480),
         return alt
 
 
+def save_replay(out_path, traj_pred: dict, traj_orig: dict):
+    """Persist prediction + reference trajectories per take as one .npz the
+    TrajectoryViewer (envs/visual.py) can replay; the headless-safe form of
+    the reference's --render path."""
+    payload = {}
+    for take in traj_pred:
+        payload[f"pred__{take}"] = np.asarray(traj_pred[take])
+        if take in traj_orig:
+            payload[f"orig__{take}"] = np.asarray(traj_orig[take])
+    np.savez_compressed(out_path, **payload)
+    return out_path
+
+
 def _write_video(frames, out_path, fps):
     try:
         import cv2

@@ -124,3 +124,107 @@ def test_convert_clip_end_to_end(bvh_file, tmp_path, monkeypatch):
     # root quaternion is unit
     np.testing.assert_allclose(np.linalg.norm(traj[:, 3:7], axis=1), 1.0,
                                atol=1e-9)
+
+
+AMC_TEXT = """#!OML:ASF
+:FULLY-SPECIFIED
+:DEGREES
+1
+root 1.0 2.0 3.0 10.0 20.0 30.0
+lowerback 5.0 -4.0 3.0
+lfoot 15.0 25.0
+2
+root 2.0 3.0 4.0 11.0 21.0 31.0
+lowerback 6.0 -5.0 4.0
+lfoot 16.0 26.0
+"""
+
+
+def test_amc_loading(tmp_path):
+    """AMC loader: root translation scaled, angles to radians, per-bone
+    value order reversed (reference mocap/pose.py:7-42 conventions)."""
+    import numpy as np
+    from egopose_tpu.mocap.pose import load_amc_file
+    p = tmp_path / "clip.amc"
+    p.write_text(AMC_TEXT)
+    poses, addr = load_amc_file(str(p), scale=0.5)
+    assert poses.shape == (2, 11)
+    assert addr == {"root": (0, 6), "lowerback": (6, 9), "lfoot": (9, 11)}
+    np.testing.assert_allclose(poses[0, :3], [0.5, 1.0, 1.5])
+    np.testing.assert_allclose(poses[0, 3:6],
+                               np.radians([10.0, 20.0, 30.0]))
+    # non-root bones: file order reversed
+    np.testing.assert_allclose(poses[0, 6:9], np.radians([3.0, -4.0, 5.0]))
+    np.testing.assert_allclose(poses[1, 9:11], np.radians([26.0, 16.0]))
+
+
+ASF_TEXT = """# test skeleton
+:version 1.10
+:name VICON
+:units
+  mass 1.0
+  length 0.45
+  angle deg
+:documentation
+  example
+:root
+  order TX TY TZ RX RY RZ
+  axis XYZ
+  position 0 0 0
+  orientation 0 0 0
+:bonedata
+  begin
+     id 1
+     name lowerback
+     direction 0.0 1.0 0.0
+     length 2.0
+     axis 0 0 30  XYZ
+    dof rx ry rz
+    limits (-20.0 45.0)
+           (-30.0 30.0)
+           (-30.0 30.0)
+  end
+  begin
+     id 2
+     name upperback
+     direction 0.0 0.9 0.1
+     length 2.1
+     axis 0 0 0  XYZ
+    dof rx rz
+    limits (-20.0 45.0)
+           (-30.0 30.0)
+  end
+:hierarchy
+  begin
+    root lowerback
+    lowerback upperback
+  end
+"""
+
+
+def test_asf_loading(tmp_path):
+    """ASF parser: units, bone fields, reversed dof order, limits,
+    hierarchy, forward kinematics (reference skeleton.py:44-119 behavior)."""
+    import numpy as np
+    from egopose_tpu.mocap import Skeleton
+    p = tmp_path / "skel.asf"
+    p.write_text(ASF_TEXT)
+    sk = Skeleton()
+    sk.load_from_asf(str(p))
+    assert [b.name for b in sk.bones] == ["root", "lowerback", "upperback"]
+    lb = sk.name2bone["lowerback"]
+    scale = 1 / 0.45 * 0.0254
+    assert abs(lb.len - 2.0 * scale) < 1e-12
+    assert lb.dof_index == [2, 1, 0]       # file rx ry rz -> reversed
+    assert lb.lb == [-20.0, -30.0, -30.0]
+    assert lb.ub == [45.0, 30.0, 30.0]
+    ub = sk.name2bone["upperback"]
+    assert ub.dof_index == [2, 0]
+    assert ub.parent is lb and lb.parent is sk.root
+    # axis 0 0 30 -> z-rotation of the orientation frame
+    np.testing.assert_allclose(
+        lb.orient[:, 0], [np.cos(np.radians(30)), np.sin(np.radians(30)), 0],
+        atol=1e-12)
+    # FK: lowerback ends 2*scale along +y; upperback starts there
+    np.testing.assert_allclose(lb.end, [0, 2.0 * scale, 0], atol=1e-12)
+    np.testing.assert_allclose(ub.pos, lb.end, atol=1e-12)

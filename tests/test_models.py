@@ -82,3 +82,33 @@ def test_mobilenet_param_count():
     variables = net.init(jax.random.PRNGKey(0), x, train=False)
     n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 3_000_000 < n < 4_500_000  # mobilenet-v1 ~3.2M + head
+
+
+def test_causal_encode_matches_per_prefix_recomputation():
+    """--causal online inference: causal_encode must equal the reference's
+    per-step context re-initialization (ego_mimic_eval.py:143-145) --
+    run the net on the prefix [0, t+2m] and take the trimmed output at t."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from egopose_tpu.models.video_state_net import VideoStateNet
+
+    t_len, m, n, fdim, vh = 18, 3, 2, 5, 8
+    net = VideoStateNet(fdim, vh, m, "lstm", None, causal=False)
+    feats = jnp.asarray(np.random.RandomState(0).randn(n, t_len, fdim))
+    params = net.init(jax.random.PRNGKey(0), feats)
+
+    got = net.apply(params, feats, method=net.causal_encode)
+    assert got.shape == (n, t_len - 2 * m, vh)
+    for t in range(t_len - 2 * m):
+        prefix_out = net.apply(params, feats[:, :t + 2 * m + 1])
+        np.testing.assert_allclose(np.asarray(got[:, t]),
+                                   np.asarray(prefix_out[:, t]),
+                                   atol=1e-10, err_msg=f"t={t}")
+
+    # a causal net's full pass already IS the online answer
+    cnet = VideoStateNet(fdim, vh, m, "lstm", None, causal=True)
+    cparams = cnet.init(jax.random.PRNGKey(1), feats)
+    np.testing.assert_allclose(
+        np.asarray(cnet.apply(cparams, feats, method=cnet.causal_encode)),
+        np.asarray(cnet.apply(cparams, feats)), atol=0)
