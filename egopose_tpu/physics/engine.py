@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import quat as Q
-from .linalg_pallas import make_fused_contact_solve, spd_solve
+from .linalg_pallas import (make_fused_contact_solve, make_pd_fused_step,
+                            spd_solve)
 from .model import PhysicsModel
 import functools
 
@@ -40,6 +41,11 @@ import functools
 @functools.lru_cache(maxsize=8)
 def _fused_solver(iters: int, relax: float):
     return make_fused_contact_solve(iters, relax)
+
+
+@functools.lru_cache(maxsize=8)
+def _pd_fused(iters: int, relax: float):
+    return make_pd_fused_step(iters, relax)
 
 # TPU matmuls default to reduced (bf16) precision for f32 inputs, which is
 # fatal for mass-matrix algebra -- pin every contraction in the engine to
@@ -66,11 +72,26 @@ class ContactParams(NamedTuple):
     slop: float = 1.0e-4     # penetration allowed without correction (m)
     iters: int = 25          # projected-Jacobi iterations
     relax: float = 1.0       # relaxation for the (row-sum-scaled) sweep
-    max_contacts: int = 16   # top-K deepest candidate points kept per substep
+    max_contacts: int = 8    # top-K deepest candidate points kept per substep.
+                             # 8 keeps >=4 points per foot in double stance
+                             # (a rigid foot is fully constrained by 3-4);
+                             # K=8 tracks MuJoCo C identically to K=16 on the
+                             # landing/standing golden scenario (RMS 0.00224
+                             # both) and cuts the Delassus solve width 49->25,
+                             # +30% control-step throughput on v5e
     fused_solver: bool = False  # use the single fused Pallas kernel for the
                                 # whole solve+contact chain (measured slightly
                                 # slower than the split path on v5e: the
                                 # mega-kernel serializes work XLA overlaps)
+    pd_fused: bool = False   # fuse the whole PD substep (stable-PD solve ->
+                             # torque -> dynamics + contact solve -> sweep)
+                             # into one Pallas kernel so M crosses HBM once
+                             # per substep.  Measured ~9% slower than the
+                             # split path on v5e at B=1024 (the mega-kernel
+                             # serializes work XLA overlaps across lanes);
+                             # kept as an option for parts where per-op
+                             # dispatch dominates.  Takes precedence over
+                             # fused_solver inside pd_control_step.
     klim: float = 200.0      # joint-limit stiffness (N m / rad)
     blim: float = 5.0        # joint-limit damping (N m s / rad)
 
@@ -88,6 +109,12 @@ def fk(m: PhysicsModel, qpos: jax.Array) -> Kin:
     MuJoCo joint semantics: within a body, hinge joints apply sequentially,
     each about its locally-specified axis/anchor in the frame produced by the
     preceding joints (verified to 1e-12 against mj_kinematics).
+
+    Level-scan formulation: all bodies at one tree depth are processed as a
+    batch per scan step.  (A fully unrolled static-index traversal was tried
+    and measured within noise of this on v5e at B=1024 -- the chain is bound
+    by the sequential depth dependency, not by op count -- while blowing up
+    CPU compile times, so the scan form stays.)
     """
     nb, nd = m.nbody, m.ndof
     dtype = qpos.dtype
@@ -511,6 +538,9 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
                     params: ContactParams = DEFAULT_CONTACT):
     """Reference do_simulation (humanoid_v1.py:158-174): n_frames substeps of
     stable-PD torque (recomputed each substep) + dynamics integration."""
+    if params.pd_fused:
+        return _pd_fused_control_step(m, qpos, qvel, ctrl, jkp, jkd,
+                                      torque_lim, n_frames, params)
 
     def substep(carry, _):
         qp, qv = carry
@@ -538,6 +568,48 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         return (qp, qv), None
 
     (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None, length=n_frames)
+    return qpos, qvel
+
+
+def _pd_fused_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
+                           ctrl: jax.Array, jkp: jax.Array, jkd: jax.Array,
+                           torque_lim: jax.Array, n_frames: int,
+                           params: ContactParams = DEFAULT_CONTACT):
+    """pd_control_step with the whole substep solve chain (stable-PD accel
+    solve -> torque -> dynamics + Delassus solve -> projected contact sweep)
+    in one Pallas kernel per substep -- the mass matrix crosses HBM once.
+    Identical math to the split path (see _pd_fused_single for the
+    single-env reference composition)."""
+    nd = m.ndof
+    dtype = qpos.dtype
+    zero6 = jnp.zeros(6, dtype)
+    jkp_full = jnp.concatenate([zero6, jkp.astype(dtype)])
+    jkd_full = jnp.concatenate([zero6, jkd.astype(dtype)])
+    adof = jnp.asarray(m.actuator_dof)
+    gear_full = jnp.zeros(nd, dtype).at[adof].add(
+        m.actuator_gear.astype(dtype))
+    tlim_full = jnp.zeros(nd, dtype).at[adof].add(torque_lim.astype(dtype))
+    kdd = jnp.stack([jkd_full, m.dof_damping.astype(dtype)], axis=1)
+    pdstep = _pd_fused(params.iters, params.relax)
+
+    def substep(carry, _):
+        qp, qv = carry
+        kin = fk(m, qp)
+        mm = crba(m, kin)
+        qfrc_bias = bias_force(m, kin, qv)
+        e = jnp.concatenate([zero6, qp[7:] - ctrl])
+        rhspd = -qfrc_bias - jkp_full * e - jkd_full * qv
+        qfb = -qfrc_bias + limit_qfrc(m, qp, qv, params) \
+            - m.dof_damping * qv \
+            - jnp.concatenate([zero6, m.dof_stiffness[6:] * qp[7:]])
+        jf, target, mu = contact_blocks(m, kin, params)
+        qv = pdstep(mm, kdd, rhspd, e, jkp_full, jkd_full, tlim_full,
+                    gear_full, qfb, qv, jf, target, mu, m.timestep)
+        qp = integrate(m, qp, qv, m.timestep)
+        return (qp, qv), None
+
+    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None,
+                                   length=n_frames)
     return qpos, qvel
 
 

@@ -71,6 +71,108 @@ def _cho_solve_kernel(a_ref, b_ref, x_ref, a_s, l_s, n: int, r: int):
     jax.lax.fori_loop(0, n, bwd_step, 0)
 
 
+PANEL = 8  # sublane tile: one panel of columns per factorization block
+
+
+def _factor_blocked(a_s, n: int):
+    """Blocked right-looking lane-major Cholesky, in place in ``a_s``.
+
+    Per panel of PANEL columns: factor the columns against the static suffix
+    block [j0:, j0:PANEL], then one rank-w update of the trailing submatrix.
+    ~2.5-3x fewer VPU flops than full-matrix rank-1 updates (all slice bounds
+    are python ints -- Mosaic sees static shapes).  On exit the lower triangle
+    of ``a_s`` holds L (junk above the diagonal; substitutions mask it)."""
+    nb = (n + PANEL - 1) // PANEL
+
+    for jb in range(nb):
+        j0 = jb * PANEL
+        w = min(PANEL, n - j0)
+        m = n - j0
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 0)
+        cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, w, LANES), 1)
+
+        def fact_col(jj, _, j0=j0, w=w, m=m, rows_m=rows_m, cols_w=cols_w):
+            piv = a_s[pl.ds(j0 + jj, 1), pl.ds(j0 + jj, 1), :][0]   # (1,L)
+            inv_d = jax.lax.rsqrt(jnp.maximum(piv, 1e-12))
+            col = a_s[pl.ds(j0, m), pl.ds(j0 + jj, 1), :][:, 0, :]  # (m,L)
+            lcol = jnp.where(rows_m >= jj, col * inv_d, 0.0)
+            a_s[pl.ds(j0, m), pl.ds(j0 + jj, 1), :] = lcol[:, None, :]
+            # rank-1 update restricted to the remaining panel columns
+            lrow = jnp.where(cols_w > jj, lcol[:w][None], 0.0)      # (1,w,L)
+            blk = a_s[pl.ds(j0, m), pl.ds(j0, w), :]
+            a_s[pl.ds(j0, m), pl.ds(j0, w), :] = \
+                blk - lcol[:, None, :] * lrow
+            return 0
+
+        jax.lax.fori_loop(0, w, fact_col, 0)
+
+        m2 = n - j0 - w
+        if m2 > 0:
+            def trail_col(c, _, j0=j0, w=w, m2=m2):
+                pc = a_s[pl.ds(j0 + w, m2), pl.ds(j0 + c, 1), :]    # (m2,1,L)
+                pr = pc[:, 0, :][None]                              # (1,m2,L)
+                tr = a_s[pl.ds(j0 + w, m2), pl.ds(j0 + w, m2), :]
+                a_s[pl.ds(j0 + w, m2), pl.ds(j0 + w, m2), :] = tr - pc * pr
+                return 0
+
+            jax.lax.fori_loop(0, w, trail_col, 0)
+
+
+def _subst_blocked(a_s, x_ref, n: int):
+    """Solve L L^T x = b in place in ``x_ref`` given L factored in ``a_s``.
+    Column updates are restricted to the static suffix (forward) / prefix
+    (backward) blocks."""
+    nb = (n + PANEL - 1) // PANEL
+
+    for jb in range(nb):
+        j0 = jb * PANEL
+        w = min(PANEL, n - j0)
+        m = n - j0
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 0)
+
+        def fwd_col(jj, _, j0=j0, m=m, rows_m=rows_m):
+            j0jj = j0 + jj
+            lj = a_s[pl.ds(j0jj, 1), pl.ds(j0jj, 1), :]             # (1,1,L)
+            yj = x_ref[pl.ds(j0jj, 1), :, :] / lj                   # (1,r,L)
+            col = a_s[pl.ds(j0, m), pl.ds(j0jj, 1), :][:, 0, :]     # (m,L)
+            colm = jnp.where(rows_m > jj, col, 0.0)
+            xs = x_ref[pl.ds(j0, m), :, :]
+            x_ref[pl.ds(j0, m), :, :] = xs - colm[:, None, :] * yj
+            x_ref[pl.ds(j0jj, 1), :, :] = yj
+            return 0
+
+        jax.lax.fori_loop(0, w, fwd_col, 0)
+
+    for jb in range(nb - 1, -1, -1):
+        j0 = jb * PANEL
+        w = min(PANEL, n - j0)
+        mt = j0 + w
+        cols_mt = jax.lax.broadcasted_iota(jnp.int32, (mt, LANES), 0)
+
+        def bwd_col(ii, _, j0=j0, w=w, mt=mt, cols_mt=cols_mt):
+            jj = w - 1 - ii
+            j = j0 + jj
+            lj = a_s[pl.ds(j, 1), pl.ds(j, 1), :]
+            xj = x_ref[pl.ds(j, 1), :, :] / lj                      # (1,r,L)
+            row = a_s[pl.ds(j, 1), pl.ds(0, mt), :][0]              # (mt,L)
+            rowm = jnp.where(cols_mt < j, row, 0.0)
+            xp = x_ref[pl.ds(0, mt), :, :]
+            x_ref[pl.ds(0, mt), :, :] = xp - rowm[:, None, :] * xj
+            x_ref[pl.ds(j, 1), :, :] = xj
+            return 0
+
+        jax.lax.fori_loop(0, w, bwd_col, 0)
+
+
+def _cho_solve_kernel_blocked(a_ref, b_ref, x_ref, a_s, n: int, r: int):
+    """Blocked lane-major Cholesky solve (same contract as
+    ``_cho_solve_kernel``; see ``_factor_blocked``/``_subst_blocked``)."""
+    a_s[...] = a_ref[...]
+    x_ref[...] = b_ref[...]
+    _factor_blocked(a_s, n)
+    _subst_blocked(a_s, x_ref, n)
+
+
 def _batched_spd_solve_tpu(a, rhs, interpret=False):
     """a (B,n,n), rhs (B,n,r) -> (B,n,r) via the lane-major kernel."""
     bsz, n, _ = a.shape
@@ -86,15 +188,14 @@ def _batched_spd_solve_tpu(a, rhs, interpret=False):
 
     from jax.experimental.pallas import tpu as pltpu
     out = pl.pallas_call(
-        functools.partial(_cho_solve_kernel, n=n, r=r),
+        functools.partial(_cho_solve_kernel_blocked, n=n, r=r),
         grid=(bp // LANES,),
         in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i)),
                   pl.BlockSpec((n, r, LANES), lambda i: (0, 0, i))],
         out_specs=pl.BlockSpec((n, r, LANES), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((n, r, bp), a.dtype),
         interpret=interpret,
-        scratch_shapes=[pltpu.VMEM((n, n, LANES), a.dtype),
-                        pltpu.VMEM((n, n, LANES), a.dtype)],
+        scratch_shapes=[pltpu.VMEM((n, n, LANES), a.dtype)],
     )(at, bt)
     x = out.transpose(2, 0, 1)
     return x[:bsz]
@@ -329,3 +430,181 @@ def make_fused_contact_solve(iters: int, relax: float):
         return out, True
 
     return fused
+
+
+# ---------------------------------------------------------------------------
+# fully fused stable-PD control substep
+# ---------------------------------------------------------------------------
+#
+# The PD control substep needs two SPD solves against (M + dt*diag(.)): the
+# stable-PD desired-acceleration solve and the dynamics+Delassus solve
+# (engine.pd_control_step).  Done as separate ops, M round-trips HBM ~6x per
+# substep (materialize M, materialize each A, lane-major transpose copies,
+# kernel reads) -- and the engine is HBM-bound, not flop-bound.  This kernel
+# takes M once and performs in VMEM: PD factor+solve -> torque -> qfrc ->
+# dynamics factor+solve (qacc and Delassus columns share the substitution) ->
+# projected contact sweep -> post-contact velocity.
+
+
+def _pd_fused_kernel(m_ref, kdd_ref, rhspd_ref, e_ref, jkp_ref, jkd_ref,
+                     tlim_ref, gear_ref, qfb_ref, qvel_ref, jf_ref, jft_ref,
+                     target_ref, mu_ref, dt_ref, out_ref,
+                     a_s, xpd_s, x_s, ac_s,
+                     n: int, c: int, k: int, iters: int, relax: float):
+    """Shapes (lane-major, L=LANES): m (n,n,L); kdd (n,2,L) = [jkd_full,
+    dof_damping] diag additions; rhspd/e/jkp/jkd/tlim/gear/qfb/qvel (n,1,L);
+    jf (c,n,L) block row order; jft (n,c,L); target (c,1,L); mu (k,1,L);
+    dt (1,1,L); out (n,1,L)."""
+    dt = dt_ref[0, 0, :]                                     # (L,)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n, LANES), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n, LANES), 1)
+    eq = r_iota == c_iota
+
+    # ---- stable-PD solve: (M + dt*diag(jkd)) qacc = rhspd ----
+    a_s[...] = m_ref[...] + jnp.where(eq, dt * kdd_ref[:, 0:1, :], 0.0)
+    _factor_blocked(a_s, n)
+    xpd_s[...] = rhspd_ref[...]
+    _subst_blocked(a_s, xpd_s, n)
+
+    # ---- torque -> generalized applied force ----
+    torque = -jkp_ref[...] * e_ref[...] \
+        - jkd_ref[...] * (qvel_ref[...] + dt * xpd_s[...])
+    torque = jnp.clip(torque, -tlim_ref[...], tlim_ref[...])
+    qfrc = qfb_ref[...] + torque * gear_ref[...]             # (n,1,L)
+
+    # ---- dynamics solve: qacc and Delassus columns in one substitution ----
+    a_s[...] = m_ref[...] + jnp.where(eq, dt * kdd_ref[:, 1:2, :], 0.0)
+    _factor_blocked(a_s, n)
+    x_s[:, 0:1, :] = qfrc * dt
+    x_s[:, 1:, :] = jft_ref[...]
+    _subst_blocked(a_s, x_s, n)
+
+    # ---- projected contact sweep (as _fused_contact_kernel) ----
+    v_pred = qvel_ref[...] + x_s[:, 0:1, :]                  # (n,1,L)
+    vp_row = v_pred[:, 0, :][None]                           # (1,n,L)
+    b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
+    bhat = b - target_ref[...]
+
+    ac_s[...] = jnp.zeros_like(ac_s)
+
+    def delassus_step(d, _):
+        jcol = jf_ref[:, pl.ds(d, 1), :]                     # (c,1,L)
+        wrow = x_s[pl.ds(d, 1), 1:, :][0][None]              # (1,c,L)
+        ac_s[...] = ac_s[...] + jcol * wrow
+        return 0
+
+    jax.lax.fori_loop(0, n, delassus_step, 0)
+    diag = jnp.sum(jnp.abs(ac_s[...]), axis=1, keepdims=True) + 1e-9
+    mu = mu_ref[...]                                         # (k,1,L)
+
+    def sweep(i, lam):
+        lam_row = lam[:, 0, :][None]                         # (1,c,L)
+        g = jnp.sum(ac_s[...] * lam_row, axis=1, keepdims=True) + bhat
+        lam = lam - relax * g / diag
+        ln = jnp.maximum(lam[2 * k:], 0.0)
+        lim = mu * ln
+        lx = jnp.clip(lam[:k], -lim, lim)
+        ly = jnp.clip(lam[k:2 * k], -lim, lim)
+        return jnp.concatenate([lx, ly, ln], axis=0)
+
+    lam = jax.lax.fori_loop(0, iters, sweep,
+                            jnp.zeros((c, 1, LANES), dtype=out_ref.dtype))
+    lam_row = lam[:, 0, :][None]
+    out_ref[...] = v_pred + jnp.sum(x_s[:, 1:, :] * lam_row, axis=1,
+                                    keepdims=True)
+
+
+def _pd_fused_tpu(mmat, kdd, rhspd, e, jkp, jkd, tlim, gear, qfb, qvel,
+                  jf, target, mu, dt, iters, relax, interpret=False):
+    """Batched fused PD substep.  mmat (B,n,n); kdd (B,n,2); rhspd/e/jkp/jkd/
+    tlim/gear/qfb/qvel (B,n); jf (B,c,n) block rows; target (B,c); mu (B,k);
+    dt scalar -> v_new (B,n)."""
+    from jax.experimental.pallas import tpu as pltpu
+    bsz, n, _ = mmat.shape
+    c = jf.shape[1]
+    k = c // 3
+    pad = (-bsz) % LANES
+    if pad:
+        def padlast(x, fill=0.0):
+            shp = (pad,) + x.shape[1:]
+            return jnp.concatenate([x, jnp.full(shp, fill, x.dtype)], 0)
+        mmat = jnp.concatenate(
+            [mmat, jnp.broadcast_to(jnp.eye(n, dtype=mmat.dtype),
+                                    (pad, n, n))], 0)
+        kdd, rhspd, e, jkp, jkd, tlim, gear, qfb, qvel, jf, target, mu = (
+            padlast(x) for x in
+            (kdd, rhspd, e, jkp, jkd, tlim, gear, qfb, qvel, jf, target, mu))
+    bp = mmat.shape[0]
+
+    def lm(x):                      # (B, ...) -> lane-major (..., B)
+        return jnp.moveaxis(x, 0, -1)
+
+    def col(x):                     # (B,n) -> (n,1,B)
+        return x.T[:, None, :]
+
+    dt_arr = jnp.broadcast_to(jnp.asarray(dt, mmat.dtype), (1, 1, bp))
+    args = (lm(mmat), lm(kdd), col(rhspd), col(e), col(jkp), col(jkd),
+            col(tlim), col(gear), col(qfb), col(qvel), lm(jf),
+            lm(jf.transpose(0, 2, 1)), col(target), col(mu), dt_arr)
+
+    import functools as ft
+    bs3 = lambda d0, d1: pl.BlockSpec((d0, d1, LANES), lambda i: (0, 0, i))
+    out = pl.pallas_call(
+        ft.partial(_pd_fused_kernel, n=n, c=c, k=k, iters=iters, relax=relax),
+        grid=(bp // LANES,),
+        in_specs=[bs3(n, n), bs3(n, 2), bs3(n, 1), bs3(n, 1), bs3(n, 1),
+                  bs3(n, 1), bs3(n, 1), bs3(n, 1), bs3(n, 1), bs3(n, 1),
+                  bs3(c, n), bs3(n, c), bs3(c, 1), bs3(k, 1), bs3(1, 1)],
+        out_specs=bs3(n, 1),
+        out_shape=jax.ShapeDtypeStruct((n, 1, bp), mmat.dtype),
+        interpret=interpret,
+        scratch_shapes=[pltpu.VMEM((n, n, LANES), mmat.dtype),
+                        pltpu.VMEM((n, 1, LANES), mmat.dtype),
+                        pltpu.VMEM((n, 1 + c, LANES), mmat.dtype),
+                        pltpu.VMEM((c, c, LANES), mmat.dtype)],
+    )(*args)
+    return out.transpose(2, 0, 1)[:bsz, :, 0]
+
+
+def _pd_fused_single(mmat, kdd, rhspd, e, jkp, jkd, tlim, gear, qfb, qvel,
+                     jf, target, mu, dt, iters, relax):
+    """Stock-ops single-env fallback with identical math."""
+    n = mmat.shape[0]
+    a_pd = mmat + dt * jnp.diag(kdd[:, 0])
+    qacc = _spd_solve_single(a_pd, rhspd[:, None])[:, 0]
+    torque = -jkp * e - jkd * (qvel + dt * qacc)
+    torque = jnp.clip(torque, -tlim, tlim)
+    qfrc = qfb + torque * gear
+    a_dyn = mmat + dt * jnp.diag(kdd[:, 1])
+    return _fused_contact_single(a_dyn, qfrc, qvel, jf, target, mu, dt,
+                                 iters, relax)
+
+
+def make_pd_fused_step(iters: int, relax: float):
+    """Build a custom-vmapped fused stable-PD substep (solver hyperparameters
+    static for the kernel).  See _pd_fused_tpu for the argument contract."""
+
+    @jax.custom_batching.custom_vmap
+    def pdstep(mmat, kdd, rhspd, e, jkp, jkd, tlim, gear, qfb, qvel,
+               jf, target, mu, dt):
+        return _pd_fused_single(mmat, kdd, rhspd, e, jkp, jkd, tlim, gear,
+                                qfb, qvel, jf, target, mu, dt, iters, relax)
+
+    @pdstep.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = list(args)
+        dt = args.pop()
+        for i, (arg, b) in enumerate(zip(args, in_batched[:13])):
+            if not b:
+                args[i] = jnp.broadcast_to(arg, (axis_size,) + arg.shape)
+        dt_v = dt if not in_batched[13] else dt[0]
+        on_tpu = any(d.platform == "tpu" for d in jax.devices()) or \
+            jax.default_backend() in ("tpu", "axon")
+        if on_tpu:
+            out = _pd_fused_tpu(*args, dt_v, iters, relax)
+        else:
+            out = jax.vmap(lambda *a: _pd_fused_single(*a, dt_v, iters,
+                                                       relax))(*args)
+        return out, True
+
+    return pdstep

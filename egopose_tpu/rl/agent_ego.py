@@ -143,12 +143,16 @@ class AgentEgo:
         if mbs and mbs < batch_lanes * params.env_episode_len:
             self.mini_batch_lanes = max(1, int(mbs) // params.env_episode_len)
         self._update_key = jax.random.PRNGKey(seed + 17)
+        # "ppo" (shipped configs) or "a2c" (the reference's standalone
+        # vanilla-PG AgentPG, agents/agent_pg.py:28-38)
+        self.objective = getattr(cfg, "policy_objective", None) or "ppo"
 
         def update_fn(ts, batch, windows, key):
             return ppo.ppo_update(ts, self.opt_p, self.opt_v, self.hyper,
                                   batch, windows, policy_apply, pctx_apply,
                                   value_apply, vctx_apply, key=key,
-                                  mini_batch_lanes=self.mini_batch_lanes)
+                                  mini_batch_lanes=self.mini_batch_lanes,
+                                  objective=self.objective)
 
         self._update_fn = jax.jit(update_fn)
 

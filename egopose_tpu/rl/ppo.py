@@ -62,7 +62,8 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
                batch: SegmentBatch, windows: jax.Array,
                policy_apply: Callable, policy_ctx_apply: Callable,
                value_apply: Callable, value_ctx_apply: Callable,
-               key: jax.Array | None = None, mini_batch_lanes: int = 0):
+               key: jax.Array | None = None, mini_batch_lanes: int = 0,
+               objective: str = "ppo"):
     """Run num_epochs PPO epochs on one sampled batch.
 
     batch arrays are time-major (T, B, ...); windows (B, W, feat).
@@ -77,8 +78,15 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
     advantages/log-probs stay full-batch, exactly like the reference.
     Requires ``key`` for the shuffles.
 
+    ``objective="a2c"`` swaps the clipped surrogate for the vanilla
+    policy-gradient loss -(log_prob * advantage) over exploration rows
+    (the reference's standalone AgentPG, agents/agent_pg.py:28-38); the
+    epoch/value-update orchestration is shared, exactly as AgentPPO
+    inherits it from AgentPG.
+
     Returns (new TrainState, metrics dict).
     """
+    assert objective in ("ppo", "a2c"), objective
     t_len, bsz = batch.rewards.shape
     valid = batch.valids
     n_valid = jnp.maximum(valid.sum(), 1.0)
@@ -120,6 +128,8 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
         def policy_loss_fn(params):
             p_policy, p_vs = params
             log_probs = policy_logprob(p_policy, p_vs, states, win, actions)
+            if objective == "a2c":   # vanilla PG (agent_pg.py:31-38)
+                return -jnp.sum(log_probs * adv * expw) / ne
             ratio = jnp.exp(log_probs - flp)
             surr1 = ratio * adv
             surr2 = jnp.clip(ratio, 1.0 - hyper.clip_epsilon,

@@ -117,6 +117,9 @@ class EgoMimicConfig(ConfigBase):
         # optional shuffled-minibatch PPO (agent_ppo.py:24-43); steps per
         # minibatch, None/absent = full-batch epochs
         self.mini_batch_size = g("mini_batch_size", None)
+        # "ppo" (default, AgentPPO) or "a2c" (vanilla-PG AgentPG,
+        # agents/agent_pg.py:28-38) -- framework extension key
+        self.policy_objective = g("policy_objective", "ppo")
         self.max_iter_num = g("max_iter_num", 1000)
         self.save_model_interval = g("save_model_interval", 100)
         self.reward_id = g("reward_id", "quat_v3")

@@ -157,3 +157,39 @@ def test_ppo_minibatch_path():
     # shuffles differ across calls (fresh key per update)
     m2 = agent.update_params(batch)
     assert np.isfinite(m2["policy_loss"])
+
+
+def test_a2c_objective_path():
+    """cfg.policy_objective='a2c' swaps the clipped surrogate for the
+    reference's vanilla policy-gradient loss (agents/agent_pg.py:28-38);
+    the first-epoch policy step must differ from PPO's only by loss shape
+    (finite, params move, different direction than PPO in general)."""
+    from egopose_tpu.physics import parse_mjcf, build_model
+    from egopose_tpu import envs
+    from egopose_tpu.utils.config import EgoMimicConfig, make_env_params
+    from egopose_tpu.rl import AgentEgo
+
+    spec = parse_mjcf("assets/mujoco_models/humanoid_1205_v1.xml")
+    model = build_model(spec, dtype=jnp.float64)
+    cfg_dict = yaml.safe_load(open("config/egomimic/subject_03.yml"))
+    cfg_dict["env_episode_len"] = 10
+    cfg_dict["num_optim_epoch"] = 2
+    cfg_dict["policy_objective"] = "a2c"
+    cfg = EgoMimicConfig(cfg_dict=cfg_dict)
+    tables = envs.make_body_tables(spec)
+    p = make_env_params(cfg, spec, obs_dim=115, dtype=np.float64)
+    expert = envs.synthetic_experts(model, p, tables, spec, n_takes=2,
+                                    t_len=120, seed=0)
+    cnn_feat = jnp.asarray(np.random.RandomState(0).randn(2, 120, 32))
+
+    agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
+                     batch_lanes=4, seed=1, dtype=jnp.float64)
+    assert agent.objective == "a2c"
+    batch, _ = agent.sample(jax.random.PRNGKey(0), min_batch_size=40)
+    before = jax.device_get(agent.train_state.policy)
+    m = agent.update_params(batch)
+    after = jax.device_get(agent.train_state.policy)
+    assert np.isfinite(m["policy_loss"]) and np.isfinite(m["value_loss"])
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), before, after)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0

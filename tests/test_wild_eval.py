@@ -1,0 +1,126 @@
+"""End-to-end in-the-wild evaluation chain on synthetic data:
+
+ego_mimic_eval_wild (rollout vs wild CNN features, value fail-safe)
+  -> eval_pose_wild --mode stats (2D keypoint distance vs OpenPose GT)
+  -> ego_forecast_eval_wild (sliding windows from the wild estimation)
+  -> eval_forecast_wild --mode stats (per-horizon keypoint distance)
+
+Mirrors the reference protocol (/root/reference/ego_pose/
+ego_mimic_eval_wild.py, eval_pose_wild.py:47-101, ego_forecast_eval_wild.py,
+eval_forecast_wild.py:49-117).  OpenPose ground truth is synthesized by
+projecting a standing pose through the same camera model (pose2d), so the
+metric must come out finite and small for a re-anchored rollout.
+"""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MARGIN = 5
+EP_LEN = 10
+T_FEAT = 40          # frames of wild video features
+FEAT_DIM = 16
+TAKE = "w01"
+
+
+def _write_tiny_configs(tmp_path):
+    em = yaml.safe_load(open(f"{REPO}/config/egomimic/subject_03.yml"))
+    ef = yaml.safe_load(open(f"{REPO}/config/egoforecast/subject_03.yml"))
+    for cfg in (em, ef):
+        cfg.update(dict(fr_margin=MARGIN, env_episode_len=EP_LEN, seed=1))
+        cfg.pop("meta_id", None)
+        cfg.pop("state_net_cfg", None)
+        cfg.pop("state_net_iter", None)
+    ef.update(dict(ego_mimic_cfg="tiny_wild", ego_mimic_iter=0))
+    (tmp_path / "config/egomimic").mkdir(parents=True)
+    (tmp_path / "config/egoforecast").mkdir(parents=True)
+    yaml.dump(em, open(tmp_path / "config/egomimic/tiny_wild.yml", "w"))
+    yaml.dump(ef, open(tmp_path / "config/egoforecast/tiny_wild.yml", "w"))
+
+
+def _write_wild_dataset(tmp_path):
+    rng = np.random.RandomState(0)
+    feat_dir = tmp_path / "datasets/features"
+    feat_dir.mkdir(parents=True)
+    cnn_feat = {TAKE: rng.randn(T_FEAT, FEAT_DIM).astype(np.float32)}
+    pickle.dump(cnn_feat, open(feat_dir / "cnn_feat_wild_01.p", "wb"))
+
+    # OpenPose ground truth: project a standing humanoid through our camera
+    import jax.numpy as jnp
+    from egopose_tpu.physics import parse_mjcf, build_model
+    from egopose_tpu.utils.pose2d import JOINTS_MAP, Pose2DContext
+    spec = parse_mjcf(f"{REPO}/assets/mujoco_models/humanoid_1205_v1.xml")
+    model = build_model(spec, dtype=jnp.float32)
+    ctx = Pose2DContext(model, spec)
+    qpos = np.zeros(spec.nq, np.float32)
+    qpos[2] = 0.9
+    qpos[3] = 1.0
+    pose_dir = tmp_path / f"datasets/tpv/poses/{TAKE}"
+    pose_dir.mkdir(parents=True)
+    for fr in range(T_FEAT):
+        q = qpos.copy()
+        q[7:] += 0.02 * np.sin(0.3 * fr + np.arange(spec.nq - 7))
+        p2 = np.asarray(ctx.project_qpos(q)) * 100.0 + 300.0  # pixel-ish
+        kp = np.zeros(25 * 3)
+        for op_idx, body in JOINTS_MAP:
+            row = p2[ctx.body2id[body]]
+            kp[3 * op_idx:3 * op_idx + 3] = [row[0], row[1], 1.0]
+        with open(pose_dir / ("%05d_keypoints.json" % fr), "w") as f:
+            json.dump({"people": [{"pose_keypoints_2d": kp.tolist()}]}, f)
+
+
+@pytest.mark.slow
+def test_wild_eval_chain(tmp_path, monkeypatch):
+    _write_tiny_configs(tmp_path)
+    _write_wild_dataset(tmp_path)
+    os.symlink(f"{REPO}/assets", tmp_path / "assets")
+    monkeypatch.chdir(tmp_path)
+
+    import egopose_tpu.cli.ego_mimic as em_mod
+    orig_build = em_mod.build_world
+    monkeypatch.setattr(
+        em_mod, "build_world",
+        lambda cfg, dtype, synthetic=False, **kw: orig_build(
+            cfg, dtype, synthetic=synthetic, synthetic_takes=1,
+            synthetic_len=60))
+
+    from egopose_tpu.cli import (ego_forecast_eval_wild, ego_mimic_eval_wild,
+                                 eval_forecast_wild, eval_pose_wild)
+
+    # --- wild estimation rollout ------------------------------------------
+    res = ego_mimic_eval_wild.main(
+        ["--cfg", "tiny_wild", "--iter", "0", "--test-feat", "wild_01"])
+    test_len = T_FEAT - 2 * MARGIN
+    assert res["traj_pred"][TAKE].shape == (test_len, 59)
+    assert res["vel_pred"][TAKE].shape == (test_len, 58)
+    assert np.isfinite(res["traj_pred"][TAKE]).all()
+    em_path = "results/egomimic/tiny_wild/results/iter_0000_wild_01.p"
+    assert os.path.exists(em_path)
+
+    # --- wild pose metrics ---------------------------------------------------
+    out = eval_pose_wild.main(["--egomimic-cfg", "tiny_wild",
+                               "--egomimic-iter", "0", "--data", "wild_01"])
+    pose_dist, smooth = out["ego_mimic"]
+    assert np.isfinite(pose_dist) and pose_dist > 0
+    assert np.isfinite(smooth)
+    assert out["state_reg"] is None
+
+    # --- wild forecasting from the estimation results ------------------------
+    f_res = ego_forecast_eval_wild.main(
+        ["--cfg", "tiny_wild", "--iter", "0", "--test-feat", "wild_01"])
+    windows = f_res["traj_pred"][TAKE]
+    assert windows.ndim == 3 and windows.shape[1] == MARGIN + EP_LEN \
+        and windows.shape[2] == 59
+    assert np.isfinite(windows).all()
+
+    # --- wild forecast metrics ----------------------------------------------
+    fout = eval_forecast_wild.main(
+        ["--egoforecast-cfg", "tiny_wild", "--egoforecast-iter", "0",
+         "--data", "wild_01", "--horizons", "5", str(EP_LEN)])
+    for h, (pd, sm) in fout.items():
+        assert np.isfinite(pd) and np.isfinite(sm)
