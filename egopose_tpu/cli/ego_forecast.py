@@ -32,8 +32,8 @@ def main(argv=None):
     import jax.numpy as jnp
     if args.f64:
         jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    from ..utils.jax_cache import setup_compilation_cache
+    setup_compilation_cache()
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     from ..utils.config import EgoForecastConfig, EgoMimicConfig

@@ -36,8 +36,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    from ..utils.jax_cache import setup_compilation_cache
+    setup_compilation_cache()
     dtype = jnp.float32
 
     from .. import envs

@@ -16,9 +16,17 @@ import time
 import numpy as np
 
 
-def build_world(cfg, dtype, synthetic=False, synthetic_takes=4,
-                synthetic_len=400, model_xml=None):
-    """Load physics model + experts + cnn features for a config."""
+def build_world(cfg, dtype, synthetic=False, synthetic_takes=None,
+                synthetic_len=None, model_xml=None):
+    """Load physics model + experts + cnn features for a config.
+
+    Synthetic world size defaults to 4 takes x 400 frames; overridable with
+    EGOPOSE_SYNTHETIC_TAKES / EGOPOSE_SYNTHETIC_LEN (used by subprocess-based
+    tests that cannot monkeypatch this function)."""
+    if synthetic_takes is None:
+        synthetic_takes = int(os.environ.get("EGOPOSE_SYNTHETIC_TAKES", 4))
+    if synthetic_len is None:
+        synthetic_len = int(os.environ.get("EGOPOSE_SYNTHETIC_LEN", 400))
     import jax.numpy as jnp
     from ..physics import parse_mjcf, build_model
     from .. import envs
@@ -91,14 +99,19 @@ def main(argv=None):
                         help="override cfg.env_episode_len (debug)")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of one iteration")
+    parser.add_argument("--ckpt-format", default="pickle",
+                        choices=("pickle", "orbax"),
+                        help="checkpoint format: reference-compatible pickle "
+                             "(iter_%%04d.p) or native orbax directory "
+                             "(iter_%%04d.orbax); resume auto-detects")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
     if args.f64:
         jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    from ..utils.jax_cache import setup_compilation_cache
+    setup_compilation_cache()
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     from ..utils.config import EgoMimicConfig
@@ -130,9 +143,14 @@ def main(argv=None):
                      batch_lanes=args.batch_lanes, seed=cfg.seed, dtype=dtype,
                      mesh=mesh)
     if args.iter > 0:
-        cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
-        logger.info("loading model from checkpoint: %s" % cp_path)
-        agent.load(cp_path)
+        orbax_path = "%s/iter_%04d.orbax" % (cfg.model_dir, args.iter)
+        if os.path.isdir(orbax_path):
+            logger.info("loading model from orbax checkpoint: %s" % orbax_path)
+            agent.load_orbax(orbax_path)
+        else:
+            cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+            logger.info("loading model from checkpoint: %s" % cp_path)
+            agent.load(cp_path)
 
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -196,8 +214,12 @@ def main(argv=None):
                 tb.scalar(f"reward_{i}", log.avg_c_info[i], i_iter)
 
         if cfg.save_model_interval > 0 and (i_iter + 1) % cfg.save_model_interval == 0:
-            cp_path = "%s/iter_%04d.p" % (cfg.model_dir, i_iter + 1)
-            agent.save(cp_path)
+            if args.ckpt_format == "orbax":
+                cp_path = "%s/iter_%04d.orbax" % (cfg.model_dir, i_iter + 1)
+                agent.save_orbax(cp_path)
+            else:
+                cp_path = "%s/iter_%04d.p" % (cfg.model_dir, i_iter + 1)
+                agent.save(cp_path)
             logger.info("saved checkpoint %s" % cp_path)
 
     logger.info("training done!")

@@ -53,8 +53,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    from ..utils.jax_cache import setup_compilation_cache
+    setup_compilation_cache()
     dtype = jnp.float32
 
     from .. import envs
@@ -75,9 +75,13 @@ def main(argv=None):
     agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
                      batch_lanes=1, seed=cfg.seed, dtype=dtype)
     cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+    orbax_path = "%s/iter_%04d.orbax" % (cfg.model_dir, args.iter)
     if os.path.exists(cp_path):
         logger.info("loading policy net from checkpoint: %s" % cp_path)
         agent.load(cp_path)
+    elif os.path.isdir(orbax_path):
+        logger.info("loading policy net from orbax checkpoint: %s" % orbax_path)
+        agent.load_orbax(orbax_path)
     else:
         logger.info("no checkpoint at %s -- evaluating untrained policy" % cp_path)
 
@@ -244,8 +248,16 @@ def main(argv=None):
                jnp.zeros((n_takes, 3), dtype), jnp.zeros((n_takes, 3), dtype))
     carry0 = (state0, jnp.zeros(n_takes), jnp.zeros(n_takes),
               jnp.zeros(n_takes, jnp.int32), anchor0)
+    import time as _time
+    eval_fn = jax.jit(lambda c: jax.lax.scan(step_fn, c, jnp.arange(t_max)))
+    t0 = _time.time()
     (stf, _, _, n_reset, _), (qpos_traj, qvel_traj, rewards, epos_sync_traj) \
-        = jax.lax.scan(step_fn, carry0, jnp.arange(t_max))
+        = jax.block_until_ready(eval_fn(carry0))
+    wall = _time.time() - t0
+    n_frames = int(test_lens.sum())
+    logger.info("eval rollout: %d frames over %d takes in %.2fs "
+                "(%.0f frames/s incl. compile)"
+                % (n_frames, n_takes, wall, n_frames / max(wall, 1e-9)))
 
     qpos_traj = np.asarray(qpos_traj)  # (T, B, nq)
     qvel_traj = np.asarray(qvel_traj)

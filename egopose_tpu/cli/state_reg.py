@@ -77,8 +77,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import optax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+    from ..utils.jax_cache import setup_compilation_cache
+    setup_compilation_cache()
 
     from ..data.dataset import Dataset
     from ..models.video_reg_net import VideoRegNet

@@ -98,6 +98,13 @@ class ContactParams(NamedTuple):
 
 DEFAULT_CONTACT = ContactParams()
 
+# substep-scan unroll factor: lets XLA fuse across substep boundaries
+# (integrate -> next fk); +10% on v5e at B=1024, 5 measured no better than 3.
+# Overridable because CPU (LLVM) compile time scales badly with body size --
+# the test suite pins it to 1 (tests/conftest.py).
+import os as _os
+_SUBSTEP_UNROLL = int(_os.environ.get("EGOPOSE_SUBSTEP_UNROLL", "3"))
+
 
 # ---------------------------------------------------------------------------
 # forward kinematics (scan over tree depth, batched within a level)
@@ -567,7 +574,10 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         qp = integrate(m, qp, qv, m.timestep)
         return (qp, qv), None
 
-    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None, length=n_frames)
+    # unroll=3: XLA fuses across substep boundaries (integrate -> next fk);
+    # +10% on v5e at B=1024, unroll=5 measured no better
+    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None,
+                                   length=n_frames, unroll=_SUBSTEP_UNROLL)
     return qpos, qvel
 
 
@@ -609,7 +619,7 @@ def _pd_fused_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         return (qp, qv), None
 
     (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None,
-                                   length=n_frames)
+                                   length=n_frames, unroll=_SUBSTEP_UNROLL)
     return qpos, qvel
 
 
@@ -626,5 +636,6 @@ def torque_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         qp, qv = step_raw(m, qp, qv, tau, params)
         return (qp, qv), None
 
-    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None, length=n_frames)
+    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None,
+                                   length=n_frames, unroll=_SUBSTEP_UNROLL)
     return qpos, qvel

@@ -250,6 +250,30 @@ class AgentEgo:
             cp = pickle.load(f)
         self.load_checkpoint(cp)
 
+    def save_orbax(self, path):
+        """Native orbax checkpoint (directory): the TPU-native training
+        format (atomic, sharding-aware, async-capable) alongside the
+        reference-compatible pickle (SURVEY 5.4).  ``path`` is a directory,
+        conventionally ``models/iter_%04d.orbax``."""
+        import os
+        import orbax.checkpoint as ocp
+        cp = self.checkpoint()
+        rs = cp.pop("running_state")
+        cp["running_state"] = {"n": np.asarray(rs.n),
+                               "mean": np.asarray(rs.mean),
+                               "s": np.asarray(rs.s)}
+        ocp.PyTreeCheckpointer().save(os.path.abspath(path), cp, force=True)
+
+    def load_orbax(self, path):
+        import os
+        import orbax.checkpoint as ocp
+        cp = dict(ocp.PyTreeCheckpointer().restore(os.path.abspath(path)))
+        rs = cp["running_state"]
+        cp["running_state"] = running_norm.RunningStat(
+            n=jnp.asarray(rs["n"]), mean=jnp.asarray(rs["mean"]),
+            s=jnp.asarray(rs["s"]))
+        self.load_checkpoint(cp)
+
     def load_checkpoint(self, cp):
         if self.mesh is not None:
             from ..parallel import mesh as meshlib

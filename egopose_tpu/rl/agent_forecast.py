@@ -148,6 +148,13 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
     agent.batch_lanes = batch_lanes
     agent.end_reward = 0.0
     agent.noise_rate = 1.0
+    agent.mesh = None          # forecast training is single-device for now
+    agent._lane_shard = None
+    agent._update_key = jax.random.PRNGKey(seed + 17)
+    mbs = getattr(cfg, "mini_batch_size", None)
+    agent.mini_batch_lanes = 0
+    if mbs and mbs < batch_lanes * params.env_episode_len:
+        agent.mini_batch_lanes = max(1, int(mbs) // params.env_episode_len)
     cnn_fdim = int(agent.cnn_feat.shape[-1])
     obs_dim = params.obs_dim
 

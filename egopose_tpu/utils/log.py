@@ -56,6 +56,54 @@ class ScalarWriter:
                                           "step": step, "ts": time.time()}) + "\n")
             self._jsonl.flush()
 
+    def image(self, tag, img, step):
+        """Image summary (reference utils/tb_logger.py:44-67): ``img`` is an
+        (H,W,3) uint8/float array.  JSONL fallback records shape only."""
+        import numpy as np
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8) \
+                if img.max() > 1.0 else (img * 255).astype(np.uint8)
+        if self._tb is not None:
+            import io
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            im = self._Summary.Image(height=img.shape[0], width=img.shape[1],
+                                     colorspace=img.shape[-1],
+                                     encoded_image_string=buf.getvalue())
+            s = self._Summary(value=[self._Summary.Value(tag=tag, image=im)])
+            self._tb.add_event(self._Event(summary=s, step=step,
+                                           wall_time=time.time()))
+        else:
+            self._jsonl.write(json.dumps(
+                {"tag": tag, "image_shape": list(img.shape),
+                 "step": step, "ts": time.time()}) + "\n")
+            self._jsonl.flush()
+
+    def histogram(self, tag, values, step, bins=64):
+        """Histogram summary (reference utils/tb_logger.py:69-96)."""
+        import numpy as np
+        values = np.asarray(values, np.float64).ravel()
+        counts, edges = np.histogram(values, bins=bins)
+        if self._tb is not None:
+            from tensorboard.compat.proto.summary_pb2 import HistogramProto
+            h = HistogramProto(
+                min=float(values.min()), max=float(values.max()),
+                num=int(values.size), sum=float(values.sum()),
+                sum_squares=float((values ** 2).sum()),
+                bucket_limit=edges[1:].tolist(),
+                bucket=counts.tolist())
+            s = self._Summary(value=[self._Summary.Value(tag=tag, histo=h)])
+            self._tb.add_event(self._Event(summary=s, step=step,
+                                           wall_time=time.time()))
+        else:
+            self._jsonl.write(json.dumps(
+                {"tag": tag, "histogram": {"counts": counts.tolist(),
+                                           "edges": edges.tolist()},
+                 "step": step, "ts": time.time()}) + "\n")
+            self._jsonl.flush()
+
     def flush(self):
         if self._tb is not None:
             self._tb.flush()

@@ -10,10 +10,19 @@ ego_mimic_eval_wild.py, eval_pose_wild.py:47-101, ego_forecast_eval_wild.py,
 eval_forecast_wild.py:49-117).  OpenPose ground truth is synthesized by
 projecting a standing pose through the same camera model (pose2d), so the
 metric must come out finite and small for a re-anchored rollout.
+
+Each CLI runs as a subprocess: realistic invocation, and it keeps per-process
+XLA CPU compile state small -- one long pytest process accumulating hundreds
+of compiled x64 programs segfaults inside a *fresh* backend compile once this
+module's CLIs pile on top (XLA:CPU bug; reproduced repeatedly at different
+compile sites in this chain, never standalone).
 """
 import json
 import os
 import pickle
+import re
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -74,53 +83,74 @@ def _write_wild_dataset(tmp_path):
             json.dump({"people": [{"pose_keypoints_2d": kp.tolist()}]}, f)
 
 
+def _run_cli(module, args, cwd):
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", EGOPOSE_SYNTHETIC_TAKES="1",
+               EGOPOSE_SYNTHETIC_LEN="60")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # jax.config route, not just the env var: with an accelerator plugin
+    # installed JAX_PLATFORMS alone does not exclude it (conftest recipe)
+    driver = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+              "import sys; from egopose_tpu.cli.%s import main; "
+              "main(%r)" % (module, args))
+    proc = subprocess.run(
+        [sys.executable, "-c", driver],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, (module, proc.stdout[-2000:],
+                                  proc.stderr[-2000:])
+    return proc.stdout + proc.stderr
+
+
 @pytest.mark.slow
 def test_wild_eval_chain(tmp_path, monkeypatch):
     _write_tiny_configs(tmp_path)
     _write_wild_dataset(tmp_path)
     os.symlink(f"{REPO}/assets", tmp_path / "assets")
-    monkeypatch.chdir(tmp_path)
-
-    import egopose_tpu.cli.ego_mimic as em_mod
-    orig_build = em_mod.build_world
-    monkeypatch.setattr(
-        em_mod, "build_world",
-        lambda cfg, dtype, synthetic=False, **kw: orig_build(
-            cfg, dtype, synthetic=synthetic, synthetic_takes=1,
-            synthetic_len=60))
-
-    from egopose_tpu.cli import (ego_forecast_eval_wild, ego_mimic_eval_wild,
-                                 eval_forecast_wild, eval_pose_wild)
+    cwd = str(tmp_path)
 
     # --- wild estimation rollout ------------------------------------------
-    res = ego_mimic_eval_wild.main(
-        ["--cfg", "tiny_wild", "--iter", "0", "--test-feat", "wild_01"])
+    _run_cli("ego_mimic_eval_wild",
+             ["--cfg", "tiny_wild", "--iter", "0", "--test-feat", "wild_01"],
+             cwd)
+    em_path = tmp_path / \
+        "results/egomimic/tiny_wild/results/iter_0000_wild_01.p"
+    assert em_path.exists()
+    res, _meta = pickle.load(open(em_path, "rb"))
     test_len = T_FEAT - 2 * MARGIN
     assert res["traj_pred"][TAKE].shape == (test_len, 59)
     assert res["vel_pred"][TAKE].shape == (test_len, 58)
     assert np.isfinite(res["traj_pred"][TAKE]).all()
-    em_path = "results/egomimic/tiny_wild/results/iter_0000_wild_01.p"
-    assert os.path.exists(em_path)
 
     # --- wild pose metrics ---------------------------------------------------
-    out = eval_pose_wild.main(["--egomimic-cfg", "tiny_wild",
-                               "--egomimic-iter", "0", "--data", "wild_01"])
-    pose_dist, smooth = out["ego_mimic"]
+    out = _run_cli("eval_pose_wild",
+                   ["--egomimic-cfg", "tiny_wild", "--egomimic-iter", "0",
+                    "--data", "wild_01"], cwd)
+    match = re.search(r"all - pose dist: ([\d.]+), accels: ([\d.]+)", out)
+    assert match, out[-1500:]
+    pose_dist, smooth = float(match.group(1)), float(match.group(2))
     assert np.isfinite(pose_dist) and pose_dist > 0
     assert np.isfinite(smooth)
-    assert out["state_reg"] is None
 
     # --- wild forecasting from the estimation results ------------------------
-    f_res = ego_forecast_eval_wild.main(
-        ["--cfg", "tiny_wild", "--iter", "0", "--test-feat", "wild_01"])
+    _run_cli("ego_forecast_eval_wild",
+             ["--cfg", "tiny_wild", "--iter", "0", "--test-feat", "wild_01"],
+             cwd)
+    f_path = tmp_path / \
+        "results/egoforecast/tiny_wild/results/iter_0000_wild_01.p"
+    assert f_path.exists()
+    f_res, _ = pickle.load(open(f_path, "rb"))
     windows = f_res["traj_pred"][TAKE]
     assert windows.ndim == 3 and windows.shape[1] == MARGIN + EP_LEN \
         and windows.shape[2] == 59
     assert np.isfinite(windows).all()
 
     # --- wild forecast metrics ----------------------------------------------
-    fout = eval_forecast_wild.main(
-        ["--egoforecast-cfg", "tiny_wild", "--egoforecast-iter", "0",
-         "--data", "wild_01", "--horizons", "5", str(EP_LEN)])
-    for h, (pd, sm) in fout.items():
-        assert np.isfinite(pd) and np.isfinite(sm)
+    out = _run_cli("eval_forecast_wild",
+                   ["--egoforecast-cfg", "tiny_wild",
+                    "--egoforecast-iter", "0", "--data", "wild_01",
+                    "--horizons", "5", str(EP_LEN)], cwd)
+    rows = re.findall(r"horizon: (\d+), pose dist: ([\d.]+), "
+                      r"accels: ([\d.]+)", out)
+    assert len(rows) == 2, out[-1500:]
+    for _h, pd, sm in rows:
+        assert np.isfinite(float(pd)) and np.isfinite(float(sm))
