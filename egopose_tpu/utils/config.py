@@ -267,7 +267,12 @@ def make_env_params(cfg: EgoMimicConfig, spec: ModelSpec, obs_dim: int,
         reward_decay=bool(cfg.reward_weights.get("decay", False)),
         v_ord=cfg.reward_weights.get("v_ord", 2),
         nq=spec.nq, nv=spec.ndof, nu=spec.nu, obs_dim=obs_dim,
-        jkp=arr(cfg.jkp), jkd=arr(cfg.jkd), a_ref=arr(cfg.a_ref),
-        a_scale=arr(cfg.a_scale), torque_lim=arr(cfg.torque_lim),
+        # neutral PD defaults when the config carries no joint_params table
+        # (kinematic-only uses like gen_expert never step the dynamics)
+        jkp=arr(getattr(cfg, "jkp", np.zeros(spec.nu))),
+        jkd=arr(getattr(cfg, "jkd", np.zeros(spec.nu))),
+        a_ref=arr(getattr(cfg, "a_ref", np.zeros(spec.nu))),
+        a_scale=arr(getattr(cfg, "a_scale", np.ones(spec.nu))),
+        torque_lim=arr(getattr(cfg, "torque_lim", np.ones(spec.nu))),
         env_init_noise=arr(cfg.env_init_noise), w=arr(w), k=arr(k),
         b_diffw=arr(b_diffw), contact=contact)
