@@ -70,6 +70,12 @@ def main(argv=None):
                         help="chunks per training batch (batch axis of the "
                              "(T,B,...) net input); default cfg.batch_size "
                              "or 4")
+    parser.add_argument("--transfer-dtype", default="f16",
+                        choices=("f16", "f32"),
+                        help="dtype for the optical-flow host->device "
+                             "transfer (cast back on device); f16 halves "
+                             "the ingest bandwidth, which dominates at "
+                             "224x224 frame sizes")
     args = parser.parse_args(argv)
     if args.data is None:
         args.data = args.mode if args.mode in {"train", "test"} else "train"
@@ -145,7 +151,10 @@ def main(argv=None):
         def train_step(variables, opt_state, of, gt, mask, step):
             """One step over a (T, B, ...) batch of B chunks.  The mask is
             (T', B) so variable-length tail chunks and zero-padded batch
-            slots contribute nothing to the loss."""
+            slots contribute nothing to the loss.  ``of`` may arrive as
+            float16 (halves the host->device transfer, which dominates at
+            224x224 on tunneled dev chips); cast up on device."""
+            of = of.astype(dtype)
             def loss_fn(params):
                 vs = {**variables, "params": params}
                 pred, updates = net.apply(
@@ -192,10 +201,13 @@ def main(argv=None):
             import threading
             q = queue.Queue(maxsize=2)
 
+            tdtype = np.float16 if args.transfer_dtype == "f16" else dtype
+
             def worker():
                 try:
                     for buf in host_batches():
-                        of = jax.device_put(np.stack([b[0] for b in buf], 1))
+                        of = jax.device_put(
+                            np.stack([b[0] for b in buf], 1).astype(tdtype))
                         gt = jax.device_put(np.stack([b[1] for b in buf], 1))
                         mask = jax.device_put(np.stack([b[2] for b in buf], 1))
                         q.put((of, gt, mask, sum(b[3] for b in buf)))
