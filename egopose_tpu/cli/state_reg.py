@@ -129,7 +129,12 @@ def main(argv=None):
                                 if not k.startswith("cnn")}
             merged = jax.tree_util.tree_map(lambda x: x, variables)
             for coll in loaded:
-                merged[coll].update(loaded[coll])
+                if not loaded[coll]:
+                    # e.g. batch_stats holds only CNN BN stats -- nothing
+                    # left after the filter, and the no_cnn net has no such
+                    # collection at all
+                    continue
+                merged.setdefault(coll, {}).update(loaded[coll])
             variables = merged
         else:
             variables = loaded

@@ -54,7 +54,7 @@ def test_offline_pipeline_files_to_training(tmp_path, monkeypatch):
         # packed optical flow (32x32x2) served by the native loader
         flow = np.random.RandomState(10 + i).randn(T, 32, 32, 2)
         np.save(f"datasets/fpv_of/{take}.npy", flow.astype(np.float32))
-    meta = {"train": TAKES, "test": [],
+    meta = {"train": TAKES, "test": [TAKES[-1]],
             "capture": {"fps": 30},
             "video_mocap_sync": {t: [0, 2, T - 4] for t in TAKES}}
     yaml.dump(meta, open("datasets/meta/meta_tiny.yml", "w"))
@@ -73,8 +73,9 @@ def test_offline_pipeline_files_to_training(tmp_path, monkeypatch):
 
     # --- statereg checkpoint (synthetic train; same 32x32 flow shape) ------
     sr = yaml.safe_load(open(f"{REPO}/config/statereg/subject_03.yml"))
-    sr.update(dict(fr_num=24, fr_margin=3, v_hdim=16, cnn_fdim=12,
-                   mlp_dim=[24], num_epoch=1, save_model_interval=1, seed=3))
+    sr.update(dict(meta_id="meta_tiny", fr_num=24, fr_margin=3, v_hdim=16,
+                   cnn_fdim=12, mlp_dim=[24], num_epoch=1,
+                   save_model_interval=1, seed=3))
     yaml.dump(sr, open("config/statereg/tiny_sr.yml", "w"))
     from egopose_tpu.cli import state_reg
     state_reg.main(["--cfg", "tiny_sr", "--mode", "train", "--synthetic",
@@ -114,3 +115,16 @@ def test_offline_pipeline_files_to_training(tmp_path, monkeypatch):
                      batch_lanes=2, seed=0, dtype=jnp.float64)
     batch, log = agent.sample(jax.random.PRNGKey(0), min_batch_size=16)
     assert log.num_steps > 0 and np.isfinite(log.avg_c_reward)
+
+    # --- statereg save_inf + feature-driven test mode ----------------------
+    state_reg.main(["--cfg", "tiny_sr", "--mode", "save_inf", "--iter", "1"])
+    inf_path = "results/statereg/tiny_sr/models/iter_0001_inf.p"
+    assert os.path.exists(inf_path)
+    model_cp, sr_meta = pickle.load(open(inf_path, "rb"))
+    assert "state_net_dict" in model_cp and "mean" in sr_meta
+
+    res = state_reg.main(["--cfg", "tiny_sr", "--mode", "test",
+                          "--iter", "1", "--test-feat", "tiny"])
+    assert set(res["traj_pred"]) == set(TAKES)
+    for tp in res["traj_pred"].values():
+        assert tp.shape[1] == 59 and np.isfinite(tp).all()
