@@ -76,12 +76,14 @@ def main(argv=None):
                      batch_lanes=1, seed=cfg.seed, dtype=dtype)
     cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
     orbax_path = "%s/iter_%04d.orbax" % (cfg.model_dir, args.iter)
-    if os.path.exists(cp_path):
-        logger.info("loading policy net from checkpoint: %s" % cp_path)
-        agent.load(cp_path)
-    elif os.path.isdir(orbax_path):
+    # orbax first: same precedence as training resume (ego_mimic.py), so
+    # eval and resume always pick the same checkpoint when both formats exist
+    if os.path.isdir(orbax_path):
         logger.info("loading policy net from orbax checkpoint: %s" % orbax_path)
         agent.load_orbax(orbax_path)
+    elif os.path.exists(cp_path):
+        logger.info("loading policy net from checkpoint: %s" % cp_path)
+        agent.load(cp_path)
     else:
         logger.info("no checkpoint at %s -- evaluating untrained policy" % cp_path)
 

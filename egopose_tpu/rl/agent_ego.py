@@ -253,8 +253,11 @@ class AgentEgo:
     def save_orbax(self, path):
         """Native orbax checkpoint (directory): the TPU-native training
         format (atomic, sharding-aware, async-capable) alongside the
-        reference-compatible pickle (SURVEY 5.4).  ``path`` is a directory,
-        conventionally ``models/iter_%04d.orbax``."""
+        reference-compatible pickle (SURVEY 5.4).  Unlike the pickle (which
+        matches the reference's net-only content) it also carries the
+        optimizer states, so a resume continues the exact optimization
+        trajectory.  ``path`` is a directory, conventionally
+        ``models/iter_%04d.orbax``."""
         import os
         import orbax.checkpoint as ocp
         cp = self.checkpoint()
@@ -262,6 +265,8 @@ class AgentEgo:
         cp["running_state"] = {"n": np.asarray(rs.n),
                                "mean": np.asarray(rs.mean),
                                "s": np.asarray(rs.s)}
+        cp["opt_policy"] = jax.device_get(self.train_state.opt_policy)
+        cp["opt_value"] = jax.device_get(self.train_state.opt_value)
         ocp.PyTreeCheckpointer().save(os.path.abspath(path), cp, force=True)
 
     def load_orbax(self, path):
@@ -272,7 +277,20 @@ class AgentEgo:
         cp["running_state"] = running_norm.RunningStat(
             n=jnp.asarray(rs["n"]), mean=jnp.asarray(rs["mean"]),
             s=jnp.asarray(rs["s"]))
+        opt_p = cp.pop("opt_policy", None)
+        opt_v = cp.pop("opt_value", None)
         self.load_checkpoint(cp)
+        if opt_p is not None:
+            # restore on top of the freshly-initialized structures so leaf
+            # types (optax named tuples) come from the live optimizer
+            ts = self.train_state
+            opt_p = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(ts.opt_policy),
+                jax.tree_util.tree_leaves(opt_p))
+            opt_v = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(ts.opt_value),
+                jax.tree_util.tree_leaves(opt_v))
+            self.train_state = ts._replace(opt_policy=opt_p, opt_value=opt_v)
 
     def load_checkpoint(self, cp):
         if self.mesh is not None:

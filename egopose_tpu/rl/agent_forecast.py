@@ -233,11 +233,14 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
 
     agent._sample_fn = jax.jit(sample_fn, static_argnames=("mean_action",))
 
+    agent.objective = getattr(cfg, "policy_objective", None) or "ppo"
+
     def update_fn(ts, batch, windows, key):
         return ppo.ppo_update(ts, agent.opt_p, agent.opt_v, agent.hyper,
                               batch, windows, policy_apply, pctx_apply,
                               value_apply, vctx_apply, key=key,
-                              mini_batch_lanes=agent.mini_batch_lanes)
+                              mini_batch_lanes=agent.mini_batch_lanes,
+                              objective=agent.objective)
 
     agent._update_fn = jax.jit(update_fn)
 

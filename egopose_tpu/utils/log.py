@@ -58,12 +58,19 @@ class ScalarWriter:
 
     def image(self, tag, img, step):
         """Image summary (reference utils/tb_logger.py:44-67): ``img`` is an
-        (H,W,3) uint8/float array.  JSONL fallback records shape only."""
+        (H,W,3) uint8 array, or float in [0,1] (scaled) / [0,255] (clipped);
+        values are clipped into range either way so zero-centered or dark
+        frames cannot wrap around in the uint8 cast.  JSONL fallback records
+        shape only."""
         import numpy as np
         img = np.asarray(img)
         if img.dtype != np.uint8:
-            img = np.clip(img, 0, 255).astype(np.uint8) \
-                if img.max() > 1.0 else (img * 255).astype(np.uint8)
+            img = np.nan_to_num(np.asarray(img, np.float64))
+            if img.size and img.max() > 1.0:
+                img = np.clip(img, 0.0, 255.0)
+            else:
+                img = np.clip(img, 0.0, 1.0) * 255.0
+            img = img.astype(np.uint8)
         if self._tb is not None:
             import io
             from PIL import Image
@@ -82,9 +89,14 @@ class ScalarWriter:
             self._jsonl.flush()
 
     def histogram(self, tag, values, step, bins=64):
-        """Histogram summary (reference utils/tb_logger.py:69-96)."""
+        """Histogram summary (reference utils/tb_logger.py:69-96).  Empty or
+        all-non-finite input is a no-op (a logging call must never kill the
+        training loop)."""
         import numpy as np
         values = np.asarray(values, np.float64).ravel()
+        values = values[np.isfinite(values)]
+        if values.size == 0:
+            return
         counts, edges = np.histogram(values, bins=bins)
         if self._tb is not None:
             from tensorboard.compat.proto.summary_pb2 import HistogramProto

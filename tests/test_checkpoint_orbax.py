@@ -58,6 +58,14 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                np.asarray(want["running_state"].mean))
     np.testing.assert_allclose(np.asarray(got["running_state"].n),
                                np.asarray(want["running_state"].n))
+    # optimizer state (Adam moments) must continue the original trajectory
+    # -- the pickle format deliberately omits it (reference parity), the
+    # native format must not
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b)),
+        jax.device_get(agent2.train_state.opt_policy),
+        jax.device_get(agent.train_state.opt_policy))
 
 
 def test_scalar_writer_image_and_histogram(tmp_path):
@@ -66,7 +74,10 @@ def test_scalar_writer_image_and_histogram(tmp_path):
     rng = np.random.RandomState(0)
     w.scalar("loss", 1.5, 0)
     w.image("frame", (rng.rand(32, 48, 3) * 255).astype(np.uint8), 0)
+    w.image("flow", rng.randn(16, 16, 3), 0)       # zero-centered float
     w.histogram("weights", rng.randn(1000), 0)
+    w.histogram("empty", np.array([]), 0)          # no-op, must not raise
+    w.histogram("nans", np.full(5, np.nan), 0)     # no-op, must not raise
     w.flush()
     files = os.listdir(tmp_path)
     assert any("tfevents" in f or f == "scalars.jsonl" for f in files)
