@@ -1,0 +1,66 @@
+"""ego_mimic_eval flag contracts: --causal (streaming context, _causal
+results tag), --sync (sync_expert-transformed traj_orig_synced), --fail-safe
+naivefs tag.  These flags were reference-parity items
+(/root/reference/ego_pose/ego_mimic_eval.py:29,136-145) -- this locks that
+they change behavior, not just filenames."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_eval_flags_causal_sync_naivefs(tmp_path, monkeypatch):
+    em = yaml.safe_load(open(f"{REPO}/config/egomimic/subject_03.yml"))
+    em.update(dict(fr_margin=4, env_episode_len=8, seed=7,
+                   sync_exp_interval=5))
+    em.pop("meta_id", None)
+    em.pop("state_net_cfg", None)
+    em.pop("state_net_iter", None)
+    (tmp_path / "config/egomimic").mkdir(parents=True)
+    yaml.dump(em, open(tmp_path / "config/egomimic/tiny_flags.yml", "w"))
+    os.symlink(f"{REPO}/assets", tmp_path / "assets")
+    monkeypatch.chdir(tmp_path)
+
+    import egopose_tpu.cli.ego_mimic as em_mod
+    orig_build = em_mod.build_world
+    monkeypatch.setattr(
+        em_mod, "build_world",
+        lambda cfg, dtype, synthetic=False, **kw: orig_build(
+            cfg, dtype, synthetic=synthetic, synthetic_takes=2,
+            synthetic_len=40))
+
+    from egopose_tpu.cli import ego_mimic_eval
+
+    base = ["--cfg", "tiny_flags", "--iter", "0", "--synthetic"]
+    res_plain, meta_plain = ego_mimic_eval.main(base)
+    assert "traj_orig_synced" not in res_plain
+
+    # --sync: emits the expert re-anchored to the sim frame; same shape as
+    # traj_orig but (in general) different world-frame xy/heading
+    res_sync, _ = ego_mimic_eval.main(base + ["--sync"])
+    for take in res_sync["traj_pred"]:
+        synced = res_sync["traj_orig_synced"][take]
+        orig = res_sync["traj_orig"][take]
+        assert synced.shape == orig.shape
+        assert np.isfinite(synced).all()
+        # joint angles are frame-invariant under the sync transform
+        np.testing.assert_allclose(synced[:, 7:], orig[:, 7:], atol=1e-5)
+
+    # --causal: streaming context changes the rollout; results tagged
+    res_causal, _ = ego_mimic_eval.main(base + ["--causal"])
+    assert os.path.exists(
+        "results/egomimic/tiny_flags/results/iter_0000_test_causal.p")
+    take = sorted(res_plain["traj_pred"])[0]
+    assert np.abs(res_causal["traj_pred"][take]
+                  - res_plain["traj_pred"][take]).max() > 1e-6
+
+    # --fail-safe naivefs: separate artifact, num_reset recorded
+    _, meta_n = ego_mimic_eval.main(base + ["--fail-safe", "naivefs"])
+    assert os.path.exists(
+        "results/egomimic/tiny_flags/results/iter_0000_test_naivefs.p")
+    assert meta_n["num_reset"] >= 0
