@@ -110,11 +110,24 @@ def measure_tpu():
             batch, log = agent.sample(sub, min_batch_size=1)
             total += float(np.asarray(batch.valids).sum())
         samples.append(total / (time.time() - t0))
-    return float(np.median(samples)), samples
+
+    # end-to-end train loop (sample + PPO update) steady-state: the second
+    # metric VERDICT r2 asked to regression-guard mechanically
+    agent.update_params(batch)  # compile the update once
+    train_samples = []
+    for _ in range(TRIALS):
+        t0 = time.time()
+        key, sub = jax.random.split(key)
+        batch, _log = agent.sample(sub, min_batch_size=1)
+        agent.update_params(batch)
+        steps = float(np.asarray(batch.valids).sum())
+        train_samples.append(steps / (time.time() - t0))
+    return float(np.median(samples)), samples, \
+        float(np.median(train_samples)), train_samples
 
 
 def main():
-    tpu, samples = measure_tpu()
+    tpu, samples, train, train_samples = measure_tpu()
     base = get_baseline()
     print(json.dumps({
         "metric": "ppo_env_steps_per_sec",
@@ -122,6 +135,8 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(tpu / base, 3),
         "trials": [round(s, 1) for s in samples],
+        "train_loop_steps_per_sec": round(train, 1),
+        "train_loop_trials": [round(s, 1) for s in train_samples],
     }))
 
 

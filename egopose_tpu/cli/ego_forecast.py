@@ -25,6 +25,16 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true", default=False)
     parser.add_argument("--min-batch", type=int, default=None)
     parser.add_argument("--episode-len", type=int, default=None)
+    parser.add_argument("--dp-devices", type=int, default=None,
+                        help="data-parallel device count: shard rollout "
+                             "lanes and update batches over an N-device "
+                             "mesh (params replicated)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of one iteration")
+    parser.add_argument("--ckpt-format", default="pickle",
+                        choices=("pickle", "orbax"),
+                        help="checkpoint format: reference-compatible pickle "
+                             "or native orbax directory; resume auto-detects")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -54,20 +64,39 @@ def main(argv=None):
 
     spec, model, tables, p, expert, cnn_feat = build_world(
         cfg, dtype, synthetic=args.synthetic)
+
+    mesh = None
+    if args.dp_devices is not None:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.dp_devices)
+        logger.info(f"data-parallel mesh over {args.dp_devices} devices")
+
     agent = make_forecast_agent(model, spec, p, tables, expert, cnn_feat,
                                 cfg, batch_lanes=args.batch_lanes,
-                                seed=cfg.seed, dtype=dtype)
+                                seed=cfg.seed, dtype=dtype, mesh=mesh)
 
     if args.iter > 0:
-        cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
-        logger.info("loading model from checkpoint: %s" % cp_path)
-        agent.load(cp_path)
+        orbax_path = "%s/iter_%04d.orbax" % (cfg.model_dir, args.iter)
+        if os.path.isdir(orbax_path):
+            logger.info("loading model from orbax checkpoint: %s" % orbax_path)
+            agent.load_orbax(orbax_path)
+        else:
+            cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
+            logger.info("loading model from checkpoint: %s" % cp_path)
+            agent.load(cp_path)
     elif cfg.ego_mimic_cfg is not None:
         em_cfg_path = "results/egomimic/%s/models/iter_%04d.p" % (
             cfg.ego_mimic_cfg, cfg.ego_mimic_iter or 0)
         if os.path.exists(em_cfg_path):
+            from ..models import torch_import as ti
             logger.info("warm start from ego mimic checkpoint: %s" % em_cfg_path)
-            mimic_cp = pickle.load(open(em_cfg_path, "rb"))
+            mimic_cp = ti.tolerant_pickle_load(em_cfg_path)
+            if ti.looks_torch_state_dict(mimic_cp.get("policy_dict")):
+                em_cfg = EgoMimicConfig(cfg.ego_mimic_cfg, create_dirs=False)
+                mimic_cp = ti.import_mimic_checkpoint(
+                    mimic_cp, bi_dir=not em_cfg.causal,
+                    v_net_type=em_cfg.policy_v_net,
+                    value_v_net_type=em_cfg.value_v_net)
             agent.train_state = warmstart_from_mimic(agent.train_state,
                                                      mimic_cp)
         else:
@@ -89,6 +118,9 @@ def main(argv=None):
                                                base_p.env_init_noise.dtype))
 
         key, sub = jax.random.split(key)
+        profiling = args.profile_dir and i_iter == args.iter + 1
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         batch, log = agent.sample(sub, cfg.min_batch_size,
                                   mean_action=args.render and not args.show_noise)
         if cfg.end_reward:
@@ -97,6 +129,9 @@ def main(argv=None):
         t0 = time.time()
         metrics = agent.update_params(batch)
         t_update = time.time() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            logger.info("wrote profiler trace to %s" % args.profile_dir)
 
         info_str = np.array2string(log.avg_c_info,
                                    formatter={"all": lambda x: "%.4f" % x},
@@ -113,7 +148,11 @@ def main(argv=None):
 
         if cfg.save_model_interval > 0 and \
                 (i_iter + 1) % cfg.save_model_interval == 0:
-            agent.save("%s/iter_%04d.p" % (cfg.model_dir, i_iter + 1))
+            if args.ckpt_format == "orbax":
+                agent.save_orbax("%s/iter_%04d.orbax" % (cfg.model_dir,
+                                                         i_iter + 1))
+            else:
+                agent.save("%s/iter_%04d.p" % (cfg.model_dir, i_iter + 1))
 
     logger.info("training done!")
     return agent

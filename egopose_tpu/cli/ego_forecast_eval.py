@@ -32,13 +32,18 @@ def main(argv=None):
                         help="ego-mimic eval results iteration to initialize "
                              "windows from (default: cfg.ego_mimic_iter)")
     parser.add_argument("--synthetic", action="store_true", default=False)
+    parser.add_argument("--f64", action="store_true", default=False,
+                        help="evaluate in float64 (validation parity runs, "
+                             "SURVEY 7.4.4); default f32")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
     from ..utils.jax_cache import setup_compilation_cache
     setup_compilation_cache()
-    dtype = jnp.float32
+    dtype = jnp.float64 if args.f64 else jnp.float32
 
     from .. import envs
     from ..ops import running_norm
@@ -53,7 +58,7 @@ def main(argv=None):
     np.random.seed(cfg.seed)
 
     spec, model, tables, p, expert, cnn_feat = build_world(
-        cfg, dtype, synthetic=args.synthetic)
+        cfg, dtype, synthetic=args.synthetic, data=args.data)
     agent = make_forecast_agent(model, spec, p, tables, expert, cnn_feat,
                                 cfg, batch_lanes=1, seed=cfg.seed, dtype=dtype)
     cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
@@ -197,6 +202,13 @@ def main(argv=None):
                                         "_gt" if args.gt_init else "")
     pickle.dump((results, meta), open(res_path, "wb"))
     logger.info("saved results to %s" % res_path)
+    if args.mode == "vis":
+        # live window rendering in the reference (ego_forecast_eval.py:86-92);
+        # interactive viewer here, replay + video when headless
+        from ..utils.vis_modes import view_or_render_windows
+        view_or_render_windows(results, res_path, logger)
+    elif args.mode != "save":
+        raise SystemExit("unknown --mode %s (save|vis)" % args.mode)
     return results, meta
 
 

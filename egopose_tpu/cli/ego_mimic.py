@@ -17,8 +17,13 @@ import numpy as np
 
 
 def build_world(cfg, dtype, synthetic=False, synthetic_takes=None,
-                synthetic_len=None, model_xml=None):
+                synthetic_len=None, model_xml=None, data="train"):
     """Load physics model + experts + cnn features for a config.
+
+    ``data`` selects the take split (cfg.takes[data]) whose experts and CNN
+    features are loaded -- trainers pass "train", the eval CLIs their
+    ``--data`` flag (matching env.load_experts(takes=cfg.takes[args.data]),
+    reference ego_mimic_eval.py:56-59).
 
     Synthetic world size defaults to 4 takes x 400 frames; overridable with
     EGOPOSE_SYNTHETIC_TAKES / EGOPOSE_SYNTHETIC_LEN (used by subprocess-based
@@ -47,11 +52,11 @@ def build_world(cfg, dtype, synthetic=False, synthetic_takes=None,
 
     if not synthetic and cfg.expert_feat_file and os.path.exists(cfg.expert_feat_file):
         expert_dict = pickle.load(open(cfg.expert_feat_file, "rb"))
-        experts = [expert_dict[t] for t in cfg.takes["train"]]
+        experts = [expert_dict[t] for t in cfg.takes[data]]
         expert = envs.stack_experts(experts)
         cnn = pickle.load(open(cfg.cnn_feat_file, "rb"))
         cnn_feat_dict = cnn[0] if isinstance(cnn, tuple) else cnn
-        feats = [np.asarray(cnn_feat_dict[t]) for t in cfg.takes["train"]]
+        feats = [np.asarray(cnn_feat_dict[t]) for t in cfg.takes[data]]
         tmax = int(expert.qpos.shape[1])
         cnn_feat = np.zeros((len(feats), tmax, feats[0].shape[-1]), np.float32)
         for i, f in enumerate(feats):

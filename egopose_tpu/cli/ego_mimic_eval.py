@@ -49,13 +49,18 @@ def main(argv=None):
     parser.add_argument("--fail-safe", default="valuefs",
                         choices=["valuefs", "naivefs", "nofs"])
     parser.add_argument("--synthetic", action="store_true", default=False)
+    parser.add_argument("--f64", action="store_true", default=False,
+                        help="evaluate in float64 (validation parity runs, "
+                             "SURVEY 7.4.4); default f32")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
     from ..utils.jax_cache import setup_compilation_cache
     setup_compilation_cache()
-    dtype = jnp.float32
+    dtype = jnp.float64 if args.f64 else jnp.float32
 
     from .. import envs
     from ..ops import math_utils as M
@@ -71,7 +76,16 @@ def main(argv=None):
     np.random.seed(cfg.seed)
 
     spec, model, tables, p, expert, cnn_feat = build_world(
-        cfg, dtype, synthetic=args.synthetic)
+        cfg, dtype, synthetic=args.synthetic, data=args.data)
+    takes = cfg.takes[args.data] if cfg.takes[args.data] else \
+        [f"take_{i}" for i in range(expert.qpos.shape[0])]
+    if args.expert_ind >= 0:
+        # single-take evaluation (reference ego_mimic_eval.py:181-186):
+        # slice the lane set down to one expert
+        i0 = args.expert_ind
+        expert = jax.tree_util.tree_map(lambda x: x[i0:i0 + 1], expert)
+        cnn_feat = cnn_feat[i0:i0 + 1]
+        takes = [takes[i0] if i0 < len(takes) else f"take_{i0}"]
     agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
                      batch_lanes=1, seed=cfg.seed, dtype=dtype)
     cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
@@ -87,8 +101,6 @@ def main(argv=None):
     else:
         logger.info("no checkpoint at %s -- evaluating untrained policy" % cp_path)
 
-    takes = cfg.takes[args.data] if cfg.takes[args.data] else \
-        [f"take_{i}" for i in range(expert.qpos.shape[0])]
     n_takes = expert.qpos.shape[0]
     m = cfg.fr_margin
     lens = np.asarray(expert.lens)
@@ -101,18 +113,21 @@ def main(argv=None):
     state_net = None
     if getattr(cfg, "state_net_cfg", None) and \
             os.path.exists(getattr(cfg, "state_net_model", "")):
+        from ..models import torch_import as ti
         from ..models.video_reg_net import VideoRegNet
         from ..utils.config import StateRegConfig
-        model_cp, sr_meta = pickle.load(open(cfg.state_net_model, "rb"))
+        model_cp, sr_meta = ti.tolerant_pickle_load(cfg.state_net_model)
         sr_cfg = StateRegConfig(cfg.state_net_cfg, create_dirs=False)
-        sr_mean, sr_std = sr_meta["mean"], sr_meta["std"]
+        state_vars, sr_mean, sr_std = ti.maybe_import_statereg(
+            model_cp, sr_meta, cnn_type=sr_cfg.cnn_type,
+            v_net_type=sr_cfg.v_net, causal=sr_cfg.causal, no_cnn=True)
+        state_vars = ti.cast_floats(state_vars, dtype)
         state_net = VideoRegNet(sr_mean.size, sr_cfg.v_hdim, sr_cfg.cnn_fdim,
                                 no_cnn=True, mlp_dim=tuple(sr_cfg.mlp_dim),
                                 cnn_type=sr_cfg.cnn_type,
                                 v_net_type=sr_cfg.v_net,
                                 v_net_param=sr_cfg.v_net_param,
                                 causal=sr_cfg.causal)
-        state_vars = model_cp["state_net_dict"]
         logger.info("loaded state net from %s" % cfg.state_net_model)
 
     if state_net is not None:
@@ -253,13 +268,18 @@ def main(argv=None):
     import time as _time
     eval_fn = jax.jit(lambda c: jax.lax.scan(step_fn, c, jnp.arange(t_max)))
     t0 = _time.time()
+    compiled = eval_fn.lower(carry0).compile()
+    t_compile = _time.time() - t0
+    t0 = _time.time()
     (stf, _, _, n_reset, _), (qpos_traj, qvel_traj, rewards, epos_sync_traj) \
-        = jax.block_until_ready(eval_fn(carry0))
+        = jax.block_until_ready(compiled(carry0))
     wall = _time.time() - t0
     n_frames = int(test_lens.sum())
-    logger.info("eval rollout: %d frames over %d takes in %.2fs "
-                "(%.0f frames/s incl. compile)"
-                % (n_frames, n_takes, wall, n_frames / max(wall, 1e-9)))
+    logger.info("eval rollout: %d frames over %d takes -- compile %.2fs "
+                "(cached across runs), execute %.2fs = %.0f frames/s "
+                "steady-state"
+                % (n_frames, n_takes, t_compile, wall,
+                   n_frames / max(wall, 1e-9)))
 
     qpos_traj = np.asarray(qpos_traj)  # (T, B, nq)
     qvel_traj = np.asarray(qvel_traj)

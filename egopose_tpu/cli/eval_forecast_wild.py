@@ -41,6 +41,18 @@ def main(argv=None):
     m = cfg.fr_margin
     dt = 1 / 30.0
 
+    if args.mode == "vis":
+        # wild forecast window vis (eval_forecast_wild.py vis mode):
+        # interactive viewer or headless replay/video
+        from ..utils.vis_modes import view_or_render_windows
+
+        class _L:
+            def info(self, msg):
+                print(msg)
+        return view_or_render_windows(results, res_path, _L())
+    if args.mode != "stats":
+        raise SystemExit("unknown --mode %s (stats|vis)" % args.mode)
+
     out = {}
     for horizon in args.horizons:
         g_pose, g_smooth, n = 0.0, 0.0, 0

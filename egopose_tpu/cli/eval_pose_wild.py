@@ -103,7 +103,26 @@ def main(argv=None):
         out["state_reg"] = compute_wild_metrics(
             sr_res, "state reg", takes, pose_ctx, wild_meta, cfg.data_dir,
             cfg.fr_margin)
+    elif args.mode == "vis":
+        # the reference's FPV/TPV synced viewer (eval_pose_wild.py:103-273);
+        # headless form: per-take composited video [3D pose | FPV | TPV +
+        # projected-keypoint overlay]
+        from ..utils.vis_modes import wild_fpv_tpv_video
+        res, algo = (em_res, "egomimic") if em_res is not None \
+            else (sr_res, "statereg")
+        os.makedirs("out", exist_ok=True)
+        for take in takes:
+            out[take] = wild_fpv_tpv_video(
+                res["traj_pred"][take], take, pose_ctx, cfg, wild_meta,
+                "out/wild_vis_%s_%s.mp4" % (algo, take), _PrintLogger())
+    else:
+        raise SystemExit("unknown --mode %s (stats|vis)" % args.mode)
     return out
+
+
+class _PrintLogger:
+    def info(self, msg):
+        print(msg)
 
 
 if __name__ == "__main__":

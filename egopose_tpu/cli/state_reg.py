@@ -70,12 +70,19 @@ def main(argv=None):
                         help="chunks per training batch (batch axis of the "
                              "(T,B,...) net input); default cfg.batch_size "
                              "or 4")
-    parser.add_argument("--transfer-dtype", default="f16",
+    parser.add_argument("--dp-devices", type=int, default=None,
+                        help="data-parallel device count: shard the chunk "
+                             "batch axis of every training step over an "
+                             "N-device mesh (params replicated; SURVEY 2.3 "
+                             "statereg DP)")
+    parser.add_argument("--transfer-dtype", default="f32",
                         choices=("f16", "f32"),
                         help="dtype for the optical-flow host->device "
                              "transfer (cast back on device); f16 halves "
-                             "the ingest bandwidth, which dominates at "
-                             "224x224 frame sizes")
+                             "the ingest bandwidth (2x throughput measured "
+                             "at 224x224 on PCIe-less dev hosts) at the "
+                             "cost of quantizing the flow input -- opt in "
+                             "for ingest-bound runs")
     args = parser.parse_args(argv)
     if args.data is None:
         args.data = args.mode if args.mode in {"train", "test"} else "train"
@@ -117,12 +124,18 @@ def main(argv=None):
     variables = net.init(key, dummy, train=False)
 
     if args.iter > 0:
+        from ..models import torch_import as ti
         cp_path = "%s/iter_%04d.p" % (cfg.model_dir, args.iter)
         logger.info("loading model from checkpoint: %s" % cp_path)
-        model_cp, meta = pickle.load(open(cp_path, "rb"))
+        model_cp, meta = ti.tolerant_pickle_load(cp_path)
         if args.data != "train":
             dataset.set_mean_std(meta["mean"], meta["std"])
         loaded = model_cp["state_net_dict"]
+        if ti.looks_torch_state_dict(loaded):
+            # reference-format torch checkpoint (state_reg.py:91-95)
+            loaded = ti.cast_floats(
+                ti.import_video_reg_net(loaded, cfg.cnn_type, cfg.v_net,
+                                        cfg.causal), dtype)
         if no_cnn:  # drop CNN params (reference strict=False load)
             for coll in loaded:
                 loaded[coll] = {k: v for k, v in loaded[coll].items()
@@ -149,6 +162,18 @@ def main(argv=None):
         # keeps the conv/LSTM batched (SURVEY §7.4.7)
         n_chunks = args.batch_chunks or \
             (cfg.batch_size if cfg.batch_size > 1 else 4)
+        mesh = None
+        if args.dp_devices is not None:
+            from ..parallel.mesh import make_mesh, replicate
+            mesh = make_mesh(args.dp_devices)
+            if n_chunks % args.dp_devices != 0:
+                raise SystemExit(
+                    f"--batch-chunks {n_chunks} not divisible by "
+                    f"--dp-devices {args.dp_devices}")
+            variables = replicate(mesh, variables)
+            opt_state = replicate(mesh, opt_state)
+            logger.info("data-parallel mesh over %d devices (chunk axis "
+                        "sharded)" % args.dp_devices)
         logger.info("training with %d chunks per batch" % n_chunks)
         drop_key = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -207,14 +232,22 @@ def main(argv=None):
             q = queue.Queue(maxsize=2)
 
             tdtype = np.float16 if args.transfer_dtype == "f16" else dtype
+            if mesh is not None:
+                # shard the chunk/batch axis (axis 1 of (T,B,...)) across
+                # the mesh; params stay replicated and XLA psums the grads
+                from ..parallel.mesh import lane_sharding
+                put = lambda x: jax.device_put(
+                    x, lane_sharding(mesh, x.ndim, axis_index=1))
+            else:
+                put = jax.device_put
 
             def worker():
                 try:
                     for buf in host_batches():
-                        of = jax.device_put(
+                        of = put(
                             np.stack([b[0] for b in buf], 1).astype(tdtype))
-                        gt = jax.device_put(np.stack([b[1] for b in buf], 1))
-                        mask = jax.device_put(np.stack([b[2] for b in buf], 1))
+                        gt = put(np.stack([b[1] for b in buf], 1))
+                        mask = put(np.stack([b[2] for b in buf], 1))
                         q.put((of, gt, mask, sum(b[3] for b in buf)))
                 finally:
                     q.put(None)
@@ -326,6 +359,7 @@ def main(argv=None):
                                               args.test_feat)
         meta.update({"algo": "state_reg", "num_sample": n_sample,
                      "epoch_loss": ep_loss})
+        os.makedirs(cfg.result_dir, exist_ok=True)
         pickle.dump((results, meta), open(res_path, "wb"))
         logger.info("nsample {}   loss {:.4f}".format(n_sample, ep_loss))
         logger.info("saved results to %s" % res_path)

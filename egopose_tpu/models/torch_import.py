@@ -14,7 +14,73 @@ Conventions handled:
 """
 from __future__ import annotations
 
+import pickle
+
 import numpy as np
+
+
+class _Stub:
+    """Attribute-bag stand-in for classes from the reference codebase that
+    are not importable here (utils.zfilter.ZFilter, the Config classes).
+    Pickle restores instance attributes into __dict__, so attribute access
+    (zf.rs, cfg.v_hdim, ...) works without the original class."""
+
+    def __init__(self, *a, **k):
+        pass
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return type(name, (_Stub,), {"__module__": module})
+
+
+def tolerant_pickle_load(path):
+    """Load a checkpoint pickle even when it references classes defined in
+    the reference repo (ZFilter, statereg Config in `meta['cfg']`): unknown
+    classes resolve to attribute-bag stubs.  Torch tensors unpickle through
+    the real torch (present in the environment)."""
+    with open(path, "rb") as f:
+        return _TolerantUnpickler(f).load()
+
+
+def looks_torch_state_dict(d):
+    """True for a torch-style flat state_dict (dotted keys / tensor values),
+    False for our flax variables dicts ({'params': ..., 'batch_stats': ...}).
+    The detection that lets the product CLIs consume reference checkpoints
+    (ego_mimic.py:133-139, state_reg.py:91-95) with no flag."""
+    if not isinstance(d, dict) or not d:
+        return False
+    if "params" in d or "batch_stats" in d:
+        return False
+    return any("." in k for k in d) or \
+        any(hasattr(v, "detach") for v in d.values())
+
+
+def cast_floats(tree, dtype):
+    """Cast every floating leaf to ``dtype``.  Reference checkpoints are
+    torch float64 (ego_mimic.py:31-32); the session dtype (f32 by default,
+    f64 under --f64) must win or jitted scans see mixed-precision carries."""
+    import jax
+    import jax.numpy as jnp
+
+    def c(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return jax.tree_util.tree_map(c, tree)
+
+
+def strip_cnn(variables):
+    """Drop CNN params/stats from VideoRegNet variables (the reference's
+    no_cnn strict=False load, state_reg.py save_inf)."""
+    out = {}
+    for coll, tree in variables.items():
+        kept = {k: v for k, v in tree.items() if not k.startswith("cnn")}
+        if kept:
+            out[coll] = kept
+    return out
 
 
 def _t(w):
@@ -243,14 +309,51 @@ def import_running_state(running_state):
                        s=jnp.asarray(rs._S))
 
 
-def import_mimic_checkpoint(model_cp, bi_dir=True, v_net_type="lstm"):
-    """Full ego-mimic checkpoint dict -> our TrainState fields."""
+def import_mimic_checkpoint(model_cp, bi_dir=True, v_net_type="lstm",
+                            value_v_net_type=None):
+    """Full ego-mimic checkpoint dict -> our TrainState fields.
+
+    ``value_v_net_type`` defaults to ``v_net_type`` (the shipped configs use
+    the same temporal-net type for both context nets)."""
     return {
         "policy_dict": import_policy_gaussian(model_cp["policy_dict"]),
         "policy_vs_dict": import_video_state_net(model_cp["policy_vs_dict"],
                                                  bi_dir, v_net_type),
         "value_dict": import_value(model_cp["value_dict"]),
-        "value_vs_dict": import_video_state_net(model_cp["value_vs_dict"],
-                                                bi_dir, v_net_type),
+        "value_vs_dict": import_video_state_net(
+            model_cp["value_vs_dict"], bi_dir,
+            value_v_net_type or v_net_type),
         "running_state": import_running_state(model_cp["running_state"]),
     }
+
+
+def import_forecast_checkpoint(model_cp, policy_v_net="lstm",
+                               value_v_net="lstm"):
+    """Full ego-forecast checkpoint dict (VideoForecastNet context nets,
+    ego_forecast.py:140-147) -> our TrainState fields."""
+    return {
+        "policy_dict": import_policy_gaussian(model_cp["policy_dict"]),
+        "policy_vs_dict": import_video_forecast_net(
+            model_cp["policy_vs_dict"], v_net_type=policy_v_net),
+        "value_dict": import_value(model_cp["value_dict"]),
+        "value_vs_dict": import_video_forecast_net(
+            model_cp["value_vs_dict"], v_net_type=value_v_net),
+        "running_state": import_running_state(model_cp["running_state"]),
+    }
+
+
+def maybe_import_statereg(model_cp, meta, cnn_type="resnet",
+                          v_net_type="lstm", causal=False, no_cnn=False):
+    """(model_cp, meta) from either our flax pickles or the reference torch
+    pickles (state_reg.py:91-95 / save_inf :180-184) -> (variables, mean,
+    std).  With ``no_cnn`` the CNN branch is stripped so the variables fit a
+    no_cnn inference net regardless of whether the source checkpoint was a
+    full or an ``_inf`` one."""
+    sd = model_cp["state_net_dict"]
+    if looks_torch_state_dict(sd):
+        variables = import_video_reg_net(sd, cnn_type, v_net_type, causal)
+    else:
+        variables = sd
+    if no_cnn:
+        variables = strip_cnn(variables)
+    return variables, np.asarray(meta["mean"]), np.asarray(meta["std"])

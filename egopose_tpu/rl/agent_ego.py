@@ -21,6 +21,30 @@ from . import ppo, rollout
 from .nets import PolicyGaussian, Value
 
 
+def _restore_like(template, data):
+    """Rebuild ``template``'s pytree (optax namedtuples, dicts, sequences)
+    from an orbax-restored nested dict, associating leaves by *path* -- field
+    names for namedtuples, keys for dicts, indices for sequences -- never by
+    flatten order."""
+    if data is None:
+        return template
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        return type(template)(*[
+            _restore_like(getattr(template, f), data[f] if f in data else None)
+            for f in template._fields])
+    if isinstance(template, (list, tuple)):
+        if isinstance(data, dict):  # orbax may key sequences by index
+            data = [data.get(str(i), data.get(i))
+                    for i in range(len(template))]
+        return type(template)(
+            _restore_like(t, d) for t, d in zip(template, data))
+    if isinstance(template, dict):
+        return {k: _restore_like(template[k],
+                                 data[k] if k in data else None)
+                for k in template}
+    return jnp.asarray(data)
+
+
 class SampleLog(NamedTuple):
     num_steps: float
     num_episodes: float
@@ -47,6 +71,7 @@ class AgentEgo:
         self.model, self.spec, self.p, self.tables = model, spec, params, tables
         self.expert, self.cnn_feat = expert, jnp.asarray(cnn_feat, dtype)
         self.cfg = cfg
+        self.dtype = dtype
         self.batch_lanes = batch_lanes
         self.mesh = mesh
         self._lane_shard = None
@@ -246,8 +271,13 @@ class AgentEgo:
             pickle.dump(self.checkpoint(), f)
 
     def load(self, path):
-        with open(path, "rb") as f:
-            cp = pickle.load(f)
+        """Load a checkpoint pickle -- ours (flax pytrees + RunningStat) or
+        the reference's (torch state_dicts + pickled ZFilter,
+        ego_mimic.py:133-139), auto-detected.  The tolerant unpickler lets
+        reference pickles load even though their ZFilter class is not
+        importable here."""
+        from ..models import torch_import as ti
+        cp = ti.tolerant_pickle_load(path)
         self.load_checkpoint(cp)
 
     def save_orbax(self, path):
@@ -281,18 +311,21 @@ class AgentEgo:
         opt_v = cp.pop("opt_value", None)
         self.load_checkpoint(cp)
         if opt_p is not None:
-            # restore on top of the freshly-initialized structures so leaf
-            # types (optax named tuples) come from the live optimizer
+            # rebuild the optax state against the live structure BY FIELD
+            # NAME (orbax restores namedtuples as dicts): flatten-order
+            # association would silently scramble moments for any optimizer
+            # whose field names don't sort into optax's field order
             ts = self.train_state
-            opt_p = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(ts.opt_policy),
-                jax.tree_util.tree_leaves(opt_p))
-            opt_v = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(ts.opt_value),
-                jax.tree_util.tree_leaves(opt_v))
+            opt_p = _restore_like(ts.opt_policy, opt_p)
+            opt_v = _restore_like(ts.opt_value, opt_v)
             self.train_state = ts._replace(opt_policy=opt_p, opt_value=opt_v)
 
     def load_checkpoint(self, cp):
+        from ..models import torch_import as ti
+        if ti.looks_torch_state_dict(cp.get("policy_dict")):
+            # reference checkpoints are torch f64; the session dtype wins
+            cp = ti.cast_floats(self._import_reference_checkpoint(cp),
+                                self.dtype)
         if self.mesh is not None:
             from ..parallel import mesh as meshlib
             put = lambda tree: meshlib.replicate(self.mesh, tree)
@@ -308,3 +341,18 @@ class AgentEgo:
         self.zstat = put(running_norm.RunningStat(
             n=jnp.asarray(rs.n), mean=jnp.asarray(rs.mean),
             s=jnp.asarray(rs.s)))
+
+    def _import_reference_checkpoint(self, cp):
+        """Route a reference-format checkpoint through the torch-import
+        mapping, choosing the context-net importer by the agent's own vs-net
+        class (VideoStateNet for ego-mimic, VideoForecastNet for forecast)."""
+        from ..models import torch_import as ti
+        from ..models.video_forecast_net import VideoForecastNet
+        cfg = self.cfg
+        if isinstance(self.policy_vs_net, VideoForecastNet):
+            return ti.import_forecast_checkpoint(
+                cp, policy_v_net=cfg.policy_v_net,
+                value_v_net=cfg.value_v_net)
+        return ti.import_mimic_checkpoint(
+            cp, bi_dir=not cfg.causal, v_net_type=cfg.policy_v_net,
+            value_v_net_type=cfg.value_v_net)

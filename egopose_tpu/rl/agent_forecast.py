@@ -32,11 +32,17 @@ def rollout_segment_forecast(model, p, tables, expert, cnn_feat,
                              policy_apply, policy_params,
                              vs_net: VideoForecastNet, vs_params,
                              zstat, key, batch, noise_rate,
-                             mean_action=False, end_reward=0.0, z_clip=5.0):
-    """Forecast sampler: fixed per-episode video context + s-LSTM carry."""
+                             mean_action=False, end_reward=0.0, z_clip=5.0,
+                             lane_shard=None):
+    """Forecast sampler: fixed per-episode video context + s-LSTM carry.
+
+    ``lane_shard``: as in rollout.rollout_segment -- constraining the reset
+    keys seeds GSPMD's lane-wise partitioning of the whole rollout."""
     t_len = p.env_episode_len
     k_reset, k_scan = jax.random.split(key)
     reset_keys = jax.random.split(k_reset, batch)
+    if lane_shard is not None:
+        reset_keys = jax.lax.with_sharding_constraint(reset_keys, lane_shard)
     state = jax.vmap(lambda k: envs.reset(model, p, tables, expert, k))(reset_keys)
 
     windows = gather_past_windows(cnn_feat, state.expert_ind, state.start_ind,
@@ -139,17 +145,34 @@ def warmstart_from_mimic(train_state, mimic_cp):
 
 
 def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
-                        batch_lanes=1024, seed=1, dtype=jnp.float32):
-    """Build an AgentEgo-compatible orchestrator for forecasting."""
+                        batch_lanes=1024, seed=1, dtype=jnp.float32,
+                        mesh=None):
+    """Build an AgentEgo-compatible orchestrator for forecasting.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel training --
+    same contract as AgentEgo (lanes sharded on the first mesh axis, params
+    replicated)."""
     agent = AgentEgo.__new__(AgentEgo)
     agent.model, agent.spec, agent.p, agent.tables = model, spec, params, tables
     agent.expert, agent.cnn_feat = expert, jnp.asarray(cnn_feat, dtype)
     agent.cfg = cfg
+    agent.dtype = dtype
     agent.batch_lanes = batch_lanes
     agent.end_reward = 0.0
     agent.noise_rate = 1.0
-    agent.mesh = None          # forecast training is single-device for now
+    agent.mesh = mesh
     agent._lane_shard = None
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_dev = len(list(mesh.devices.flat))
+        if batch_lanes % n_dev != 0:
+            raise ValueError(f"batch_lanes={batch_lanes} not divisible by "
+                             f"mesh size {n_dev}")
+        agent._lane_shard = NamedSharding(mesh,
+                                          PartitionSpec(mesh.axis_names[0]))
+        agent.expert = meshlib.replicate(mesh, agent.expert)
+        agent.cnn_feat = meshlib.replicate(mesh, agent.cnn_feat)
     agent._update_key = jax.random.PRNGKey(seed + 17)
     mbs = getattr(cfg, "mini_batch_size", None)
     agent.mini_batch_lanes = 0
@@ -204,6 +227,10 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
     agent.hyper = ppo.PPOHyper(gamma=cfg.gamma, tau=cfg.tau,
                                clip_epsilon=cfg.clip_epsilon,
                                num_epochs=cfg.num_optim_epoch)
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
+        agent.train_state = meshlib.replicate(mesh, agent.train_state)
+        agent.zstat = meshlib.replicate(mesh, agent.zstat)
 
     policy_apply = lambda p, x: agent.policy_net.apply(p, x)
     value_apply = lambda p, x: agent.value_net.apply(p, x)
@@ -229,7 +256,7 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
         return rollout_segment_forecast(
             model, p_env, tables, expert_arg, cnn_arg, policy_apply,
             p_pol, policy_vs, p_pvs, zstat, key, batch_lanes, noise_rate,
-            mean_action, end_reward)
+            mean_action, end_reward, lane_shard=agent._lane_shard)
 
     agent._sample_fn = jax.jit(sample_fn, static_argnames=("mean_action",))
 
@@ -248,6 +275,9 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
         windows = gather_past_windows(agent.cnn_feat, batch.expert_ind,
                                       batch.start_ind, params.fr_margin)
         agent._update_key, sub = jax.random.split(agent._update_key)
+        if mesh is not None:
+            from ..parallel import mesh as meshlib
+            sub = meshlib.replicate(mesh, sub)
         agent.train_state, metrics = agent._update_fn(agent.train_state,
                                                       batch, windows, sub)
         return {k: float(v) for k, v in metrics.items()}

@@ -56,20 +56,28 @@ class ScalarWriter:
                                           "step": step, "ts": time.time()}) + "\n")
             self._jsonl.flush()
 
-    def image(self, tag, img, step):
+    def image(self, tag, img, step, scale=None):
         """Image summary (reference utils/tb_logger.py:44-67): ``img`` is an
-        (H,W,3) uint8 array, or float in [0,1] (scaled) / [0,255] (clipped);
-        values are clipped into range either way so zero-centered or dark
-        frames cannot wrap around in the uint8 cast.  JSONL fallback records
-        shape only."""
+        (H,W,3) uint8 array, or float with ``scale`` naming the authored
+        range -- "unit" ([0,1], multiplied by 255) or "byte" ([0,255],
+        clipped).  With ``scale=None`` the range is inferred from the data
+        max, which misreads an all-dark [0,255]-scale frame as unit-scaled;
+        pass the scale explicitly when the content may be near-black.
+        Values are clipped either way so out-of-range floats cannot wrap in
+        the uint8 cast.  JSONL fallback records shape only."""
         import numpy as np
         img = np.asarray(img)
         if img.dtype != np.uint8:
             img = np.nan_to_num(np.asarray(img, np.float64))
-            if img.size and img.max() > 1.0:
+            if scale is None:
+                scale = "byte" if img.size and img.max() > 1.0 else "unit"
+            if scale == "byte":
                 img = np.clip(img, 0.0, 255.0)
-            else:
+            elif scale == "unit":
                 img = np.clip(img, 0.0, 1.0) * 255.0
+            else:
+                raise ValueError(f"unknown image scale {scale!r} "
+                                 "(unit|byte|None)")
             img = img.astype(np.uint8)
         if self._tb is not None:
             import io

@@ -64,3 +64,23 @@ def test_eval_flags_causal_sync_naivefs(tmp_path, monkeypatch):
     assert os.path.exists(
         "results/egomimic/tiny_flags/results/iter_0000_test_naivefs.p")
     assert meta_n["num_reset"] >= 0
+
+    # --expert-ind: single-take evaluation slices the lane set
+    # (reference ego_mimic_eval.py:181-186)
+    res_one, _ = ego_mimic_eval.main(base + ["--expert-ind", "1"])
+    assert len(res_one["traj_pred"]) == 1
+    only = list(res_one["traj_pred"])[0]
+    take1 = sorted(res_plain["traj_pred"])[1]
+    assert only == take1
+    np.testing.assert_allclose(res_one["traj_orig"][only],
+                               res_plain["traj_orig"][take1], atol=1e-12)
+
+    # --show-noise: sampled instead of mean actions changes the rollout
+    res_noise, _ = ego_mimic_eval.main(base + ["--show-noise"])
+    assert np.abs(res_noise["traj_pred"][take]
+                  - res_plain["traj_pred"][take]).max() > 1e-6
+
+    # --f64 validation run (SURVEY 7.4.4)
+    res64, _ = ego_mimic_eval.main(base + ["--f64"])
+    assert res64["traj_pred"][take].dtype == np.float64
+    assert np.isfinite(res64["traj_pred"][take]).all()

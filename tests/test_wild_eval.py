@@ -35,6 +35,8 @@ EP_LEN = 10
 T_FEAT = 40          # frames of wild video features
 FEAT_DIM = 16
 TAKE = "w01"
+TAKE2 = "w02"        # shorter take: exercises the padded-lane batched scan
+T_FEAT2 = 32
 
 
 def _write_tiny_configs(tmp_path):
@@ -56,7 +58,8 @@ def _write_wild_dataset(tmp_path):
     rng = np.random.RandomState(0)
     feat_dir = tmp_path / "datasets/features"
     feat_dir.mkdir(parents=True)
-    cnn_feat = {TAKE: rng.randn(T_FEAT, FEAT_DIM).astype(np.float32)}
+    cnn_feat = {TAKE: rng.randn(T_FEAT, FEAT_DIM).astype(np.float32),
+                TAKE2: rng.randn(T_FEAT2, FEAT_DIM).astype(np.float32)}
     pickle.dump(cnn_feat, open(feat_dir / "cnn_feat_wild_01.p", "wb"))
 
     # OpenPose ground truth: project a standing humanoid through our camera
@@ -69,18 +72,19 @@ def _write_wild_dataset(tmp_path):
     qpos = np.zeros(spec.nq, np.float32)
     qpos[2] = 0.9
     qpos[3] = 1.0
-    pose_dir = tmp_path / f"datasets/tpv/poses/{TAKE}"
-    pose_dir.mkdir(parents=True)
-    for fr in range(T_FEAT):
-        q = qpos.copy()
-        q[7:] += 0.02 * np.sin(0.3 * fr + np.arange(spec.nq - 7))
-        p2 = np.asarray(ctx.project_qpos(q)) * 100.0 + 300.0  # pixel-ish
-        kp = np.zeros(25 * 3)
-        for op_idx, body in JOINTS_MAP:
-            row = p2[ctx.body2id[body]]
-            kp[3 * op_idx:3 * op_idx + 3] = [row[0], row[1], 1.0]
-        with open(pose_dir / ("%05d_keypoints.json" % fr), "w") as f:
-            json.dump({"people": [{"pose_keypoints_2d": kp.tolist()}]}, f)
+    for take, t_feat in ((TAKE, T_FEAT), (TAKE2, T_FEAT2)):
+        pose_dir = tmp_path / f"datasets/tpv/poses/{take}"
+        pose_dir.mkdir(parents=True)
+        for fr in range(t_feat):
+            q = qpos.copy()
+            q[7:] += 0.02 * np.sin(0.3 * fr + np.arange(spec.nq - 7))
+            p2 = np.asarray(ctx.project_qpos(q)) * 100.0 + 300.0  # pixel-ish
+            kp = np.zeros(25 * 3)
+            for op_idx, body in JOINTS_MAP:
+                row = p2[ctx.body2id[body]]
+                kp[3 * op_idx:3 * op_idx + 3] = [row[0], row[1], 1.0]
+            with open(pose_dir / ("%05d_keypoints.json" % fr), "w") as f:
+                json.dump({"people": [{"pose_keypoints_2d": kp.tolist()}]}, f)
 
 
 def _run_cli(module, args, cwd):
@@ -116,10 +120,11 @@ def test_wild_eval_chain(tmp_path, monkeypatch):
         "results/egomimic/tiny_wild/results/iter_0000_wild_01.p"
     assert em_path.exists()
     res, _meta = pickle.load(open(em_path, "rb"))
-    test_len = T_FEAT - 2 * MARGIN
-    assert res["traj_pred"][TAKE].shape == (test_len, 59)
-    assert res["vel_pred"][TAKE].shape == (test_len, 58)
-    assert np.isfinite(res["traj_pred"][TAKE]).all()
+    for take, t_feat in ((TAKE, T_FEAT), (TAKE2, T_FEAT2)):
+        test_len = t_feat - 2 * MARGIN
+        assert res["traj_pred"][take].shape == (test_len, 59)
+        assert res["vel_pred"][take].shape == (test_len, 58)
+        assert np.isfinite(res["traj_pred"][take]).all()
 
     # --- wild pose metrics ---------------------------------------------------
     out = _run_cli("eval_pose_wild",
