@@ -92,6 +92,14 @@ class ContactParams(NamedTuple):
                              # kept as an option for parts where per-op
                              # dispatch dominates.  Takes precedence over
                              # fused_solver inside pd_control_step.
+    substep_resident: bool = False  # run the ENTIRE control step (all
+                             # n_frames substeps incl. FK/CRBA/RNEA) as one
+                             # lane-major Pallas kernel resident in VMEM
+                             # (substep_pallas.py) -- attacks the fk+crba+
+                             # bias dependency-chain latency the round-2
+                             # profile identified.  TPU only; single-env and
+                             # CPU calls fall back to the split path.
+                             # Takes precedence over pd_fused/fused_solver.
     klim: float = 200.0      # joint-limit stiffness (N m / rad)
     blim: float = 5.0        # joint-limit damping (N m s / rad)
 
@@ -545,6 +553,10 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
                     params: ContactParams = DEFAULT_CONTACT):
     """Reference do_simulation (humanoid_v1.py:158-174): n_frames substeps of
     stable-PD torque (recomputed each substep) + dynamics integration."""
+    if params.substep_resident:
+        from .substep_pallas import make_substep_step
+        step = make_substep_step(m, n_frames, params)
+        return step(qpos, qvel, ctrl, jkp, jkd, torque_lim)
     if params.pd_fused:
         return _pd_fused_control_step(m, qpos, qvel, ctrl, jkp, jkd,
                                       torque_lim, n_frames, params)

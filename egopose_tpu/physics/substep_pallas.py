@@ -1,0 +1,587 @@
+"""Substep-resident stable-PD control step as ONE Pallas TPU kernel.
+
+The round-2 profile (BASELINE.md) showed the physics control step is bound by
+the fk+crba+bias dependency chain: ~15 of 25.7 ms at B=1024 spent in
+sequences of tiny dependent ops running ~25x off the VPU roofline -- the
+per-op dispatch/layout overhead of XLA fusions on (B, 58-ish) shapes, not
+flops.  This kernel keeps the ENTIRE control step resident in VMEM with the
+batch on the 128-wide vector lanes: per 128-lane block, a fori_loop runs all
+``n_frames`` substeps of
+
+  FK -> CRBA (mass matrix) -> RNEA bias -> joint limits -> stable-PD solve
+  -> torque -> dynamics+Delassus solve -> projected contact sweep ->
+  semi-implicit integration
+
+with HBM traffic limited to qpos/qvel/ctrl in and qpos/qvel out, once per
+control step (the split path crosses HBM at every op boundary of every
+substep).  Static model topology/constants (masses, inertias, tree masks,
+contact candidates) are baked into the kernel at trace time -- the engine
+passes the model as a closure constant, so its leaves are concrete.
+
+Building blocks reused verbatim: the lane-major FK composition
+(fk_pallas._fk_compute, bit-exact vs engine.fk) and the blocked lane-major
+Cholesky + contact sweep (linalg_pallas._factor_blocked/_subst_blocked/
+_contact_sweep).  Math mirrors engine.pd_control_step's split path exactly
+(same formulas, same masks); the only intended deviation is contact top-K
+tie-breaking order, which the order-agnostic Jacobi sweep doesn't see.
+
+Replaces the role of MuJoCo C in the reference's do_simulation
+(/root/reference/ego_pose/envs/humanoid_v1.py:158-174).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fk_pallas import _build_topo, _fk_compute
+from .linalg_pallas import (LANES, _contact_sweep, _factor_blocked,
+                            _subst_blocked)
+
+
+# ---------------------------------------------------------------------------
+# static model bundle (numpy/python only; baked into the kernel closure)
+# ---------------------------------------------------------------------------
+
+def _build_static(m, params):
+    """Everything the kernel needs that is constant per model."""
+    nb, nd, nq = m.nbody, m.ndof, m.nq
+    if tuple(m.actuator_dof) != tuple(range(6, nd)):
+        raise NotImplementedError(
+            "substep-resident kernel assumes one actuator per hinge dof "
+            "in dof order (holds for the EgoPose humanoid)")
+    children = [[] for _ in range(nb)]
+    for b in range(1, nb):
+        children[m.parent[b]].append(b)
+    body_dofs = [[] for _ in range(nb)]
+    for d in range(6, nd):
+        body_dofs[m.dof_body[d]].append(d)
+    anc = np.asarray(m.anc_mask, np.float32)          # (nd,nd)
+    return dict(
+        nb=nb, nd=nd, nq=nq,
+        topo=_build_topo(m),
+        parent=tuple(m.parent),
+        dof_body=tuple(m.dof_body),
+        body_dofs=tuple(tuple(x) for x in body_dofs),
+        mass=np.asarray(m.body_mass, np.float64),
+        inertia=np.asarray(m.body_inertia, np.float64),
+        cmass=np.asarray(m.body_desc_mask, np.float64) @
+        np.asarray(m.body_mass, np.float64),
+        anc=anc,
+        armature=np.asarray(m.dof_armature, np.float64),
+        damping=np.asarray(m.dof_damping, np.float64),
+        stiffness=np.asarray(m.dof_stiffness, np.float64),
+        gravity=np.asarray(m.gravity, np.float64),
+        gear=np.asarray(m.actuator_gear, np.float64),
+        jnt_lo=np.asarray(m.jnt_range, np.float64)[:, 0],
+        jnt_hi=np.asarray(m.jnt_range, np.float64)[:, 1],
+        jnt_limited=np.asarray(m.jnt_limited_f, np.float64),
+        cp_body=tuple(int(x) for x in np.asarray(m.cpoint_body)),
+        cp_local=np.asarray(m.cpoint_local, np.float64),
+        cp_radius=np.asarray(m.cpoint_radius, np.float64),
+        cp_mu=np.asarray(m.cpoint_mu, np.float64),
+        pdm=np.asarray(m.point_dof_mask, np.float64),   # (nd, ncp)
+        dt=float(np.asarray(m.timestep)),
+        k=min(params.max_contacts, m.ncpoint),
+        margin=float(params.margin), beta=float(params.beta),
+        slop=float(params.slop), klim=float(params.klim),
+        blim=float(params.blim),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lane-major helpers on (rows, comp, L) arrays
+# ---------------------------------------------------------------------------
+
+def _cross_n(a, b):
+    """(..., 3, L) x (..., 3, L) along axis -2."""
+    ax, ay, az = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    bx, by, bz = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    return jnp.stack([ay * bz - az * by,
+                      az * bx - ax * bz,
+                      ax * by - ay * bx], axis=-2)
+
+
+def _cross_motion_n(a, b):
+    """Spatial motion cross product on (..., 6, L)."""
+    wa, va = a[..., :3, :], a[..., 3:, :]
+    wb, vb = b[..., :3, :], b[..., 3:, :]
+    return jnp.concatenate(
+        [_cross_n(wa, wb), _cross_n(wa, vb) + _cross_n(va, wb)], axis=-2)
+
+
+def _cross_force_n(v, f):
+    """Spatial force cross product v x* f on (..., 6, L)."""
+    w, vl = v[..., :3, :], v[..., 3:, :]
+    n, fl = f[..., :3, :], f[..., 3:, :]
+    return jnp.concatenate(
+        [_cross_n(w, n) + _cross_n(vl, fl), _cross_n(w, fl)], axis=-2)
+
+
+_SYMIDX = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 1): 3, (1, 2): 4, (2, 2): 5}
+
+
+def _rot_entries(xquat):
+    """xquat (nb,4,L) -> 3x3 nested list of (nb,L) rotation-matrix entries
+    (same formula as ops.quat.quat_to_mat)."""
+    w = xquat[:, 0, :]
+    x = xquat[:, 1, :]
+    y = xquat[:, 2, :]
+    z = xquat[:, 3, :]
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+
+def _sym(ent, i, j):
+    """Access symmetric 3x3 entry store (dict keyed by sorted index pair)."""
+    return ent[(i, j)] if (i, j) in ent else ent[(j, i)]
+
+
+def _world_inertias(mass_col, icol, xquat, com):
+    """Per-body world inertia about the com (ic) and about the world origin
+    (io), as symmetric-entry dicts of (nb,L) arrays (engine
+    spatial_inertia_world + crba's io).  ``mass_col`` (nb,1), ``icol(k,l)``
+    returns the (nb,1) body-frame inertia entry."""
+    r = _rot_entries(xquat)
+    # B[k][j] = sum_l I[k,l] r[j][l]
+    bmat = [[sum(icol(k, l) * r[j][l] for l in range(3)) for j in range(3)]
+            for k in range(3)]
+    ic = {}
+    for i in range(3):
+        for j in range(i, 3):
+            ic[(i, j)] = sum(r[i][k] * bmat[k][j] for k in range(3))
+    c = [com[:, i, :] for i in range(3)]
+    c2 = c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
+    io = {}
+    for i in range(3):
+        for j in range(i, 3):
+            io[(i, j)] = ic[(i, j)] + mass_col * (
+                (c2 if i == j else 0.0) - c[i] * c[j])
+    return ic, io
+
+
+def _subtree_sum(st, rows):
+    """Reverse-tree accumulation: rows is a list of per-body (1, ..., L)
+    arrays; returns composite[b] = sum over b's subtree (engine
+    body_desc_mask matmul, realized as ~nb adds)."""
+    comp = list(rows)
+    for b in range(st["nb"] - 1, 0, -1):
+        p = st["parent"][b]
+        comp[p] = comp[p] + comp[b]
+    return comp
+
+
+def _gather_dof(st, comp_rows):
+    """Per-dof gather of per-body composite rows -> (nd, ..., L)."""
+    return jnp.concatenate([comp_rows[st["dof_body"][d]]
+                            for d in range(st["nd"])], axis=0)
+
+
+def _apply_inertia_n(mass_col, com, ic, v):
+    """I * v for spatial inertia about the world origin, (nb,6,L) -> (nb,6,L)
+    (engine._apply_inertia in lane-major form).  ``ic`` is the symmetric
+    entry dict of the com-frame world inertia, ``mass_col`` (nb,1)."""
+    w, vo = v[:, :3, :], v[:, 3:, :]
+    p = mass_col[..., None] * (vo + _cross_n(w, com))
+    icw = jnp.stack([sum(_sym(ic, i, j) * w[:, j, :] for j in range(3))
+                     for i in range(3)], axis=1)
+    n = icw + _cross_n(com, p)
+    return jnp.concatenate([n, p], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# pure lane-major substep math (value-level; CPU-testable without pallas)
+# ---------------------------------------------------------------------------
+
+def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc):
+    """Views into the packed per-model constant blocks (see _substep_tpu)."""
+    nd, nb = st["nd"], st["nb"]
+    return dict(
+        armature=ndc[:, 0:1], damping=ndc[:, 1:2], stiff_j=ndc[6:, 2:3],
+        gear=ndc[6:, 3:4], lo=ndc[6:, 4:5], hi=ndc[6:, 5:6],
+        limited=ndc[6:, 6:7],
+        anc=masks[:, :nd][:, :, None],
+        anc_t1=masks[:, nd:][:, :, None],            # anc.T * (1 - anc)
+        mass_col=bodyc[:, 0:1],
+        icol=lambda i, j: bodyc[:, 2 + _SYMIDX[(min(i, j), max(i, j))]:
+                                3 + _SYMIDX[(min(i, j), max(i, j))]],
+        cmass_rows=[bodyc[b:b + 1, 1:2] for b in range(nb)],
+        pdm=pdm, cp_radius=cpc[:, 0:1], cp_mu_col=cpc[:, 1:2])
+
+
+def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype):
+    """Everything a substep needs BEFORE the SPD solves, as pure values on
+    lane-major arrays (lane width L = q.shape[-1], any size):
+
+      mmat (nd,nd,L), bias (nd,L), qfb (nd,L), e (nd,L), rhspd (nd,L),
+      jf (3k,nd,L) block rows, target (3k,L), mu (k,L)
+
+    Mirrors engine.{crba,bias_force,limit_qfrc,smooth_dynamics
+    pre-solve,contact_blocks} exactly; the kernel and the CPU unit tests
+    share this function."""
+    nb, nd = st["nb"], st["nd"]
+    k = st["k"]
+    L = q.shape[-1]
+    dt = st["dt"]
+
+    # ---- FK (fk_pallas lane-major composition, bit-exact vs engine.fk) --
+    xpos, xquat, com, s = _fk_compute(q, st["topo"], dtype)
+    s_ang, s_lin = s[:, :3, :], s[:, 3:, :]
+
+    # ---- CRBA (engine.crba) ---------------------------------------------
+    ic, io = _world_inertias(C["mass_col"], C["icol"], xquat, com)
+    mom = C["mass_col"][..., None] * com               # (nb,3,L)
+    cmom = _subtree_sum(st, [mom[b:b + 1] for b in range(nb)])
+    cio = {key: _subtree_sum(st, [e_[b:b + 1] for b in range(nb)])
+           for key, e_ in io.items()}
+
+    cm_d = _gather_dof(st, C["cmass_rows"])            # (nd,1)
+    cmom_d = _gather_dof(st, cmom)                     # (nd,3,L)
+    p3 = cm_d[..., None] * s_lin + _cross_n(s_ang, cmom_d)
+    cio_w = jnp.stack(
+        [sum(_gather_dof(st, _sym(cio, i, j)) * s_ang[:, j, :]
+             for j in range(3)) for i in range(3)], axis=1)
+    n3 = cio_w + _cross_n(cmom_d, s_lin)
+    f_crb = jnp.concatenate([n3, p3], axis=1)          # (nd,6,L)
+
+    # u[d1,d2] = f_crb[d1] . s[d2];  ut computed directly (no transpose op)
+    u = sum(f_crb[:, j, :][:, None, :] * s[:, j, :][None, :, :]
+            for j in range(6))
+    ut = sum(s[:, j, :][:, None, :] * f_crb[:, j, :][None, :, :]
+             for j in range(6))
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
+    eq = r_iota == c_iota
+    mmat = C["anc"] * u + C["anc_t1"] * ut \
+        + jnp.where(eq, C["armature"][..., None], 0.0)
+
+    # ---- RNEA bias (engine.bias_force) ----------------------------------
+    sq = s * v[:, None, :]                             # (nd,6,L)
+    vf_rows = [None] * nd
+    v_body = [None] * nb
+    root_v = jnp.sum(sq[0:6], axis=0, keepdims=True)   # (1,6,L)
+    zrow = jnp.zeros((1, 6, L), dtype)
+    for d in range(3):
+        vf_rows[d] = zrow
+    for d in range(3, 6):
+        vf_rows[d] = root_v
+    v_body[0] = root_v
+    for b in range(1, nb):
+        acc = v_body[st["parent"][b]]
+        for d in st["body_dofs"][b]:
+            vf_rows[d] = acc
+            acc = acc + sq[d:d + 1]
+        v_body[b] = acc
+    vf = jnp.concatenate(vf_rows, axis=0)              # (nd,6,L)
+    cj = _cross_motion_n(vf, sq)                       # (nd,6,L)
+    grav = st["gravity"]
+    ones1 = jnp.ones((1, L), dtype)
+    a0 = jnp.stack([ones1 * 0.0, ones1 * 0.0, ones1 * 0.0,
+                    ones1 * float(-grav[0]), ones1 * float(-grav[1]),
+                    ones1 * float(-grav[2])], axis=1)  # (1,6,L)
+    a_body = [None] * nb
+    a_body[0] = a0 + jnp.sum(cj[0:6], axis=0, keepdims=True)
+    for b in range(1, nb):
+        acc = a_body[st["parent"][b]]
+        for d in st["body_dofs"][b]:
+            acc = acc + cj[d:d + 1]
+        a_body[b] = acc
+    v_stack = jnp.concatenate(v_body, axis=0)          # (nb,6,L)
+    a_stack = jnp.concatenate(a_body, axis=0)
+    iv = _apply_inertia_n(C["mass_col"], com, ic, v_stack)
+    ia = _apply_inertia_n(C["mass_col"], com, ic, a_stack)
+    f_b = ia + _cross_force_n(v_stack, iv)             # (nb,6,L)
+    cf = _subtree_sum(st, [f_b[b:b + 1] for b in range(nb)])
+    ftot = _gather_dof(st, cf)                         # (nd,6,L)
+    bias = jnp.sum(s * ftot, axis=1)                   # (nd,L)
+
+    # ---- joint limits + passive forces (engine smooth_dynamics) ---------
+    qj = q[7:]                                         # (nu,L)
+    dqj = v[6:]
+    below = jnp.maximum(C["lo"] - qj, 0.0)
+    above = jnp.maximum(qj - C["hi"], 0.0)
+    viol = ((below > 0) | (above > 0)).astype(dtype)
+    tau_lim = (st["klim"] * (below - above)
+               - viol * st["blim"] * dqj) * C["limited"]
+    qfb = -bias - C["damping"] * v
+    # (.at[6:].add lowers to scatter-add, unimplemented in Mosaic)
+    qfb = jnp.concatenate(
+        [qfb[:6], qfb[6:] + tau_lim - C["stiff_j"] * qj], axis=0)
+
+    e = jnp.concatenate([jnp.zeros((6, L), dtype), qj - ctrl], axis=0)
+    rhspd = -bias - jkp_full * e - jkd_full * v
+
+    # ---- contact candidates: top-K deepest (engine.contact_blocks) ------
+    p_rows = []
+    cp_local = st["cp_local"]
+    ncp = cp_local.shape[0]
+    for i in range(ncp):
+        b = st["cp_body"][i]
+        lx, ly, lz = (float(cp_local[i, 0]), float(cp_local[i, 1]),
+                      float(cp_local[i, 2]))
+        qw = xquat[b:b + 1]                            # (1,4,L)
+        loc = jnp.stack([jnp.full((1, L), lx, dtype),
+                         jnp.full((1, L), ly, dtype),
+                         jnp.full((1, L), lz, dtype)], axis=1)
+        # quaternion rotate (matches ops.quat.quat_rotate)
+        uvec = qw[:, 1:4, :]
+        t2 = 2.0 * _cross_n(uvec, loc)
+        p_rows.append(xpos[b:b + 1] + loc + qw[:, 0:1, :] * t2
+                      + _cross_n(uvec, t2))
+    p_all = jnp.concatenate(p_rows, axis=0)            # (ncp,3,L)
+    phi_all = C["cp_radius"] - p_all[:, 2, :]          # (ncp,L)
+
+    cur = phi_all
+    jf_rows_x, jf_rows_y, jf_rows_z = [], [], []
+    vn_rows, mu_rows = [], []
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (ncp, L), 0)
+    for _kk in range(k):
+        mx = jnp.max(cur, axis=0, keepdims=True)       # (1,L)
+        # first maximal index per lane (cumsum is unimplemented in Mosaic)
+        cand = jnp.where(cur >= mx, rows_i, ncp)
+        first = jnp.min(cand, axis=0, keepdims=True)
+        onehot = (rows_i == first).astype(dtype)
+        phi_k = mx
+        p_k = [jnp.sum(onehot * p_all[:, i, :], axis=0, keepdims=True)
+               for i in range(3)]
+        mu_rows.append(jnp.sum(onehot * C["cp_mu_col"], axis=0,
+                               keepdims=True))         # (1,L)
+        dmask = jnp.dot(C["pdm"], onehot,
+                        preferred_element_type=dtype)  # (nd,L)
+        act = (phi_k > -st["margin"]).astype(dtype)
+        msk = act * dmask
+        crx = s_ang[:, 1, :] * p_k[2] - s_ang[:, 2, :] * p_k[1]
+        cry = s_ang[:, 2, :] * p_k[0] - s_ang[:, 0, :] * p_k[2]
+        crz = s_ang[:, 0, :] * p_k[1] - s_ang[:, 1, :] * p_k[0]
+        jf_rows_x.append(((s_lin[:, 0, :] + crx) * msk)[None])
+        jf_rows_y.append(((s_lin[:, 1, :] + cry) * msk)[None])
+        jf_rows_z.append(((s_lin[:, 2, :] + crz) * msk)[None])
+        vn_rows.append(jnp.minimum(
+            st["beta"] * jnp.maximum(phi_k - st["slop"], 0.0) / dt,
+            1.0) * act)
+        cur = cur - onehot * jnp.asarray(1e9, dtype)
+
+    jf = jnp.concatenate(jf_rows_x + jf_rows_y + jf_rows_z, axis=0)
+    target = jnp.concatenate([jnp.zeros((2 * k, L), dtype)] + vn_rows,
+                             axis=0)                   # (3k,L)
+    mu = jnp.concatenate(mu_rows, axis=0)              # (k,L)
+    return mmat, bias, qfb, e, rhspd, jf, target, mu
+
+
+def _lane_integrate(st, q, v_new, dtype):
+    """Semi-implicit integration, lane-major (engine.integrate +
+    ops.quat.quat_integrate exactly)."""
+    dt = st["dt"]
+    pos = q[0:3] + dt * v_new[0:3]
+    ew = v_new[3:6] * dt                               # (3,L)
+    angle = jnp.sqrt(jnp.sum(ew * ew, axis=0, keepdims=True))
+    safe = angle > 1e-12
+    inv = 1.0 / jnp.maximum(angle, jnp.asarray(1e-12, dtype))
+    ax = jnp.where(safe, ew[0:1] * inv, 1.0)
+    ay = jnp.where(safe, ew[1:2] * inv, 0.0)
+    az = jnp.where(safe, ew[2:3] * inv, 0.0)
+    half = 0.5 * angle
+    sh = jnp.sin(half)
+    dq = jnp.concatenate([jnp.cos(half), ax * sh, ay * sh, az * sh], axis=0)
+    qa = q[3:7]
+    aw, axx, ayy, azz = qa[0:1], qa[1:2], qa[2:3], qa[3:4]
+    bw, bx, by, bz = dq[0:1], dq[1:2], dq[2:3], dq[3:4]
+    quat = jnp.concatenate([
+        aw * bw - axx * bx - ayy * by - azz * bz,
+        aw * bx + axx * bw + ayy * bz - azz * by,
+        aw * by - axx * bz + ayy * bw + azz * bx,
+        aw * bz + axx * by - ayy * bx + azz * bw], axis=0)
+    qn = jnp.sqrt(jnp.sum(quat * quat, axis=0, keepdims=True))
+    quat = quat / jnp.maximum(qn, jnp.asarray(1e-12, dtype))
+    joints = q[7:] + dt * v_new[6:]
+    return jnp.concatenate([pos, quat, joints], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
+                    ndc_ref, masks_ref, bodyc_ref, pdm_ref, cpc_ref,
+                    oq_ref, ov_ref, a_s, x_s, ac_s, xpd_s, jf_s, tgt_s, mu_s,
+                    *, st, n_frames, iters, relax, dtype):
+    nd = st["nd"]
+    k = st["k"]
+    c3 = 3 * k
+    dt = st["dt"]                                      # python float (static)
+
+    zeros6 = jnp.zeros((6, LANES), dtype)
+    jkp_full = jnp.concatenate([zeros6, jkp_ref[...][:, 0, :]], axis=0)
+    jkd_full = jnp.concatenate([zeros6, jkd_ref[...][:, 0, :]], axis=0)
+    tlim = tlim_ref[...][:, 0, :]                      # (nu,L)
+    ctrl = ctrl_ref[...]                               # (nu,L)
+    # packed per-model constants (pallas kernels cannot capture array
+    # constants -- everything arrives as a small 2D input block)
+    C = _unpack_consts(st, ndc_ref[...], masks_ref[...], bodyc_ref[...],
+                       pdm_ref[...], cpc_ref[...])
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 1)
+    eq = r_iota == c_iota
+
+    oq_ref[...] = qpos_ref[...]
+    ov_ref[...] = qvel_ref[...]
+
+    def substep(_, carry):
+        q = oq_ref[...]                                # (nq,L)
+        v = ov_ref[...]                                # (nd,L)
+
+        mmat, bias, qfb, e, rhspd, jf, target, mu = _lane_prep(
+            st, C, q, v, ctrl, jkp_full, jkd_full, dtype)
+
+        # ---- stable-PD solve (engine.stable_pd_torque) ------------------
+        a_s[...] = mmat + jnp.where(eq, dt * jkd_full[:, None, :], 0.0)
+        _factor_blocked(a_s, nd)
+        xpd_s[...] = rhspd[:, None, :]
+        _subst_blocked(a_s, xpd_s, nd)
+        qacc_pd = xpd_s[...][:, 0, :]                  # (nd,L)
+        torque = -jkp_full[6:] * e[6:] \
+            - jkd_full[6:] * (v[6:] + dt * qacc_pd[6:])
+        torque = jnp.clip(torque, -tlim, tlim)
+        qfrc = jnp.concatenate([qfb[:6], qfb[6:] + torque * C["gear"]],
+                               axis=0)
+
+        # ---- dynamics solve: qacc + Delassus columns --------------------
+        jf_s[...] = jf                                 # (3k,nd,L)
+        tgt_s[...] = target[:, None, :]
+        mu_s[...] = mu[:, None, :]
+        a_s[...] = mmat + jnp.where(eq, dt * C["damping"][..., None], 0.0)
+        _factor_blocked(a_s, nd)
+        x_s[:, 0:1, :] = (qfrc * dt)[:, None, :]
+        x_s[:, 1:, :] = jnp.stack([jf[i] for i in range(c3)], axis=1)
+        _subst_blocked(a_s, x_s, nd)
+        v_pred = v[:, None, :] + x_s[:, 0:1, :]
+        v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
+                               nd, c3, k, iters, relax)[:, 0, :]
+
+        oq_ref[...] = _lane_integrate(st, q, v_new, dtype)
+        ov_ref[...] = v_new
+        return carry
+
+    jax.lax.fori_loop(0, n_frames, substep, 0)
+
+
+# ---------------------------------------------------------------------------
+# batched wrapper + custom_vmap entry
+# ---------------------------------------------------------------------------
+
+def _packed_consts(st):
+    """Packed per-model constant blocks fed to the kernel (numpy)."""
+    nd = st["nd"]
+    ndc = np.zeros((nd, 8))
+    ndc[:, 0] = st["armature"]
+    ndc[:, 1] = st["damping"]
+    ndc[6:, 2] = st["stiffness"][6:]
+    ndc[6:, 3] = st["gear"]
+    ndc[6:, 4] = st["jnt_lo"]
+    ndc[6:, 5] = st["jnt_hi"]
+    ndc[6:, 6] = st["jnt_limited"]
+    anc = st["anc"].astype(np.float64)
+    masks = np.concatenate([anc, anc.T * (1.0 - anc)], axis=1)
+    bodyc = np.zeros((st["nb"], 8))
+    bodyc[:, 0] = st["mass"]
+    bodyc[:, 1] = st["cmass"]
+    for (i, j), idx in _SYMIDX.items():
+        bodyc[:, 2 + idx] = st["inertia"][:, i, j]
+    cpc = np.stack([st["cp_radius"], st["cp_mu"]], axis=1)
+    return ndc, masks, bodyc, cpc
+
+def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
+                 interpret=False):
+    """qpos (B,nq), qvel (B,nd), ctrl (B,nu), jkp/jkd/tlim (B,nu) ->
+    (qpos', qvel') via the substep-resident kernel."""
+    st = _build_static(m, params)
+    nd, nq, k = st["nd"], st["nq"], st["k"]
+    nu = nd - 6
+    c3 = 3 * k
+    bsz = qpos.shape[0]
+    dtype = qpos.dtype
+    pad = (-bsz) % LANES
+    if pad:
+        fill_q = jnp.zeros((pad, nq), dtype).at[:, 3].set(1.0)
+        qpos = jnp.concatenate([qpos, fill_q], 0)
+        qvel = jnp.concatenate([qvel, jnp.zeros((pad, nd), dtype)], 0)
+        ctrl = jnp.concatenate([ctrl, jnp.zeros((pad, nu), dtype)], 0)
+        one = jnp.ones((pad, nu), dtype)
+        jkp = jnp.concatenate([jkp, one], 0)
+        jkd = jnp.concatenate([jkd, one], 0)
+        tlim = jnp.concatenate([tlim, one], 0)
+    bp = qpos.shape[0]
+    ncp = st["cp_local"].shape[0]
+    ndc, masks, bodyc, cpc = _packed_consts(st)
+
+    col3 = lambda x: x.T[:, None, :]                   # (B,n) -> (n,1,B)
+    bs2 = lambda d0: pl.BlockSpec((d0, LANES), lambda i: (0, i))
+    bs3 = lambda d0, d1: pl.BlockSpec((d0, d1, LANES), lambda i: (0, 0, i))
+    bsc = lambda d0, d1: pl.BlockSpec((d0, d1), lambda i: (0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_substep_kernel, st=st, n_frames=n_frames,
+                          iters=params.iters, relax=params.relax,
+                          dtype=dtype),
+        grid=(bp // LANES,),
+        in_specs=[bs2(nq), bs2(nd), bs2(nu), bs3(nu, 1), bs3(nu, 1),
+                  bs3(nu, 1), bsc(nd, 8), bsc(nd, 2 * nd), bsc(st["nb"], 8),
+                  bsc(nd, ncp), bsc(ncp, 2)],
+        out_specs=[bs2(nq), bs2(nd)],
+        out_shape=[jax.ShapeDtypeStruct((nq, bp), dtype),
+                   jax.ShapeDtypeStruct((nd, bp), dtype)],
+        scratch_shapes=[pltpu.VMEM((nd, nd, LANES), dtype),
+                        pltpu.VMEM((nd, 1 + c3, LANES), dtype),
+                        pltpu.VMEM((c3, c3, LANES), dtype),
+                        pltpu.VMEM((nd, 1, LANES), dtype),
+                        pltpu.VMEM((c3, nd, LANES), dtype),
+                        pltpu.VMEM((c3, 1, LANES), dtype),
+                        pltpu.VMEM((k, 1, LANES), dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qpos.T, qvel.T, ctrl.T, col3(jkp), col3(jkd), col3(tlim),
+      jnp.asarray(ndc, dtype), jnp.asarray(masks, dtype),
+      jnp.asarray(bodyc, dtype), jnp.asarray(st["pdm"], dtype),
+      jnp.asarray(cpc, dtype))
+    return out[0].T[:bsz], out[1].T[:bsz]
+
+
+def make_substep_step(m, n_frames: int, params):
+    """Build a custom-vmapped control step: single-env calls fall back to the
+    engine's split path; vmapped batches on TPU dispatch to the resident
+    kernel."""
+    from . import engine
+
+    split_params = params._replace(substep_resident=False)
+
+    @jax.custom_batching.custom_vmap
+    def ctrl_step(qpos, qvel, ctrl, jkp, jkd, tlim):
+        return engine.pd_control_step(m, qpos, qvel, ctrl, jkp, jkd, tlim,
+                                      n_frames, split_params)
+
+    @ctrl_step.def_vmap
+    def _rule(axis_size, in_batched, qpos, qvel, ctrl, jkp, jkd, tlim):
+        args = [qpos, qvel, ctrl, jkp, jkd, tlim]
+        for i, (arg, b) in enumerate(zip(args, in_batched)):
+            if not b:
+                args[i] = jnp.broadcast_to(arg, (axis_size,) + arg.shape)
+        on_tpu = any(d.platform == "tpu" for d in jax.devices()) or \
+            jax.default_backend() in ("tpu", "axon")
+        if on_tpu:
+            out = _substep_tpu(m, params, n_frames, *args)
+        else:
+            out = jax.vmap(lambda qp, qv, c, p_, d_, t_:
+                           engine.pd_control_step(m, qp, qv, c, p_, d_, t_,
+                                                  n_frames, split_params))(
+                *args)
+        return out, (True, True)
+
+    return ctrl_step
