@@ -47,10 +47,17 @@ from .linalg_pallas import (LANES, _contact_sweep, _factor_blocked,
 # static model bundle (numpy/python only; baked into the kernel closure)
 # ---------------------------------------------------------------------------
 
+def supports(m) -> bool:
+    """The kernel assumes one actuator per hinge dof in dof order (holds for
+    every create_humanoid-generated model incl. the EgoPose humanoid).
+    pd_control_step silently keeps the split path for anything else."""
+    return tuple(m.actuator_dof) == tuple(range(6, m.ndof))
+
+
 def _build_static(m, params):
     """Everything the kernel needs that is constant per model."""
     nb, nd, nq = m.nbody, m.ndof, m.nq
-    if tuple(m.actuator_dof) != tuple(range(6, nd)):
+    if not supports(m):
         raise NotImplementedError(
             "substep-resident kernel assumes one actuator per hinge dof "
             "in dof order (holds for the EgoPose humanoid)")
