@@ -1,0 +1,132 @@
+"""Attribute time inside the substep-resident kernel by stage ablation.
+
+Monkeypatches stages of substep_pallas out of the kernel body at trace time
+and times each variant on the real TPU (pipelined, dispatch-latency
+amortized).  Stage costs (per control step, B lanes):
+
+  prep  = FK + CRBA + RNEA + limits + contact top-K  ~ full - no_prep
+  solve = 2x blocked Cholesky factor + substitutions ~ no_sweep - no_solve
+  sweep = Delassus accumulation + projected Jacobi   ~ full - no_sweep
+
+Usage (one TPU process at a time):
+  PYTHONPATH=/root/repo:$PYTHONPATH python /root/repo/tools/ablate_substep.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import yaml
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("EGOPOSE_JAX_CACHE", "/root/.jax_cache"))
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo")
+
+from egopose_tpu.physics import build_model, parse_mjcf
+from egopose_tpu.physics import engine as E
+from egopose_tpu.physics import substep_pallas as SP
+
+B = int(os.environ.get("BSUB", "1024"))
+TRIALS = int(os.environ.get("TRIALS", "3"))
+DEPTH = 8
+
+spec = parse_mjcf("assets/mujoco_models/humanoid_1205_v1.xml")
+model = build_model(spec, dtype=jnp.float32)
+cfg = yaml.safe_load(open("config/egomimic/subject_03.yml"))
+jp = list(zip(*cfg["joint_params"]))
+jkp = jnp.array(np.array(jp[1], dtype=float) * cfg["jkp_multiplier"],
+                jnp.float32)
+jkd = jnp.array(np.array(jp[2], dtype=float) * cfg["jkp_multiplier"],
+                jnp.float32)
+tl = jnp.array(np.array(jp[5], dtype=float), jnp.float32)
+
+rng = np.random.RandomState(0)
+qpos = np.tile(np.concatenate([[0, 0, 0.85, 1, 0, 0, 0],
+                               0.05 * rng.randn(52)]), (B, 1))
+qpos = jnp.asarray(qpos + 0.01 * rng.randn(B, 59), jnp.float32)
+qvel = jnp.asarray(0.1 * rng.randn(B, 58), jnp.float32)
+ctrl = jnp.asarray(0.1 * rng.randn(B, 52), jnp.float32)
+
+resident = E.DEFAULT_CONTACT._replace(substep_resident=True)
+
+_orig = dict(prep=SP._lane_prep, factor=SP._factor_blocked,
+             subst=SP._subst_blocked, sweep=SP._contact_sweep)
+
+
+def _stub_prep(st, C, q, v, ctrl_, jkp_full, jkd_full, dtype):
+    """Right-shaped constants with a trivial q/v dependency (defeats DCE)."""
+    nd, k, L = st["nd"], st["k"], q.shape[-1]
+    dep = q[0] * 1e-6                                     # (L,)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
+    mmat = jnp.where(r_iota == c_iota, 2.0 + dep, 0.0)
+    bias = jnp.zeros((nd, L), dtype) + dep
+    qfb = -bias
+    e = jnp.zeros((nd, L), dtype) + v * 1e-6
+    rhspd = -bias - e
+    jf = jnp.zeros((3 * k, nd, L), dtype) + dep
+    target = jnp.zeros((3 * k, L), dtype) + dep
+    mu = jnp.zeros((k, L), dtype) + 0.5
+    return mmat, bias, qfb, e, rhspd, jf, target, mu
+
+
+def make_fn():
+    @jax.jit
+    def f(qp, qv, c):
+        return jax.vmap(lambda a, b, cc: E.pd_control_step(
+            model, a, b, cc, jkp, jkd, tl, 15, resident))(qp, qv, c)
+    return f
+
+
+def timeit(f):
+    jax.block_until_ready(f(qpos, qvel, ctrl))           # compile
+    ts = []
+    for _ in range(TRIALS):
+        t0 = time.time()
+        qp, qv = qpos, qvel
+        for _ in range(DEPTH):
+            qp, qv = f(qp, qv, ctrl)
+        jax.block_until_ready((qp, qv))
+        ts.append((time.time() - t0) / DEPTH)
+    return float(np.median(ts)) * 1000
+
+
+def run(name, **patches):
+    for k_, v_ in patches.items():
+        setattr(SP, {"prep": "_lane_prep", "factor": "_factor_blocked",
+                     "subst": "_subst_blocked",
+                     "sweep": "_contact_sweep"}[k_], v_)
+    try:
+        ms = timeit(make_fn())
+    finally:
+        for k_ in patches:
+            setattr(SP, {"prep": "_lane_prep", "factor": "_factor_blocked",
+                         "subst": "_subst_blocked",
+                         "sweep": "_contact_sweep"}[k_], _orig[k_])
+    print(json.dumps({"variant": name, "B": B, "ms": round(ms, 2)}),
+          flush=True)
+    return ms
+
+
+full = run("full")
+no_sweep = run("no_sweep",
+               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a: v_pred)
+no_solve = run("no_solve",
+               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a: v_pred,
+               factor=lambda a_s, n: None,
+               subst=lambda a_s, x, n: None)
+# no_prep (_stub_prep) crashes Mosaic: rank-1 -> rank-3 broadcasts inside
+# the kernel hit "Check failed: limits[i] <= dim(i)".  The residual
+# (no_solve) already bounds prep+limits+integration, so we skip it.
+
+print(json.dumps({
+    "B": B,
+    "sweep_ms": round(full - no_sweep, 2),
+    "solve_ms": round(no_sweep - no_solve, 2),
+    "prep_plus_integ_ms": round(no_solve, 2),
+    "full_ms": round(full, 2),
+}))
