@@ -27,15 +27,20 @@ LANES = 128
 PANEL = 8  # sublane tile: one panel of columns per factorization block
 
 
-def _factor_blocked(a_s, n: int):
-    """Blocked right-looking lane-major Cholesky, in place in ``a_s``.
+def _factor_multi(mats, n: int):
+    """Blocked right-looking lane-major Cholesky of SEVERAL independent
+    matrices, interleaved, in place in each ref of ``mats``.
 
     Per panel of PANEL columns: factor the columns against the static suffix
-    block [j0:, j0:PANEL], then one rank-w update of the trailing submatrix.
-    ~2.5-3x fewer VPU flops than full-matrix rank-1 updates (all slice bounds
-    are python ints -- Mosaic sees static shapes).  On exit the lower triangle
-    of ``a_s`` holds L (junk above the diagonal; substitutions mask it)."""
+    block [j0:, j0:PANEL] (~2.5-3x fewer VPU flops than full-matrix rank-1
+    updates), then one rank-w trailing update accumulated on values.  The
+    factorization is a sequential dependency chain running far below the VPU
+    roofline; emitting the same op for each independent matrix back-to-back
+    lets the VLIW scheduler fill one chain's latency with the other's work.
+    On exit the lower triangle of each ref holds L (junk above the diagonal;
+    substitutions mask it)."""
     nb = (n + PANEL - 1) // PANEL
+    ns = len(mats)
 
     for jb in range(nb):
         j0 = jb * PANEL
@@ -44,37 +49,47 @@ def _factor_blocked(a_s, n: int):
         rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 0)
         cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, w, LANES), 1)
 
-        def fact_col(jj, _, j0=j0, w=w, m=m, rows_m=rows_m, cols_w=cols_w):
-            piv = a_s[pl.ds(j0 + jj, 1), pl.ds(j0 + jj, 1), :][0]   # (1,L)
-            inv_d = jax.lax.rsqrt(jnp.maximum(piv, 1e-12))
-            col = a_s[pl.ds(j0, m), pl.ds(j0 + jj, 1), :][:, 0, :]  # (m,L)
-            lcol = jnp.where(rows_m >= jj, col * inv_d, 0.0)
-            a_s[pl.ds(j0, m), pl.ds(j0 + jj, 1), :] = lcol[:, None, :]
-            # rank-1 update restricted to the remaining panel columns
-            lrow = jnp.where(cols_w > jj, lcol[:w][None], 0.0)      # (1,w,L)
-            blk = a_s[pl.ds(j0, m), pl.ds(j0, w), :]
-            a_s[pl.ds(j0, m), pl.ds(j0, w), :] = \
-                blk - lcol[:, None, :] * lrow
-            return 0
-
-        jax.lax.fori_loop(0, w, fact_col, 0)
+        lcols = [[] for _ in range(ns)]
+        for jj in range(w):
+            lcol_s = []
+            for s, a_s in enumerate(mats):
+                piv = a_s[pl.ds(j0 + jj, 1), pl.ds(j0 + jj, 1), :][0]
+                inv_d = jax.lax.rsqrt(jnp.maximum(piv, 1e-12))
+                col = a_s[pl.ds(j0, m), pl.ds(j0 + jj, 1), :][:, 0, :]
+                lcol = jnp.where(rows_m >= jj, col * inv_d, 0.0)    # (m,L)
+                lcol_s.append(lcol)
+                lcols[s].append(lcol)
+            for s, a_s in enumerate(mats):
+                lcol = lcol_s[s]
+                a_s[pl.ds(j0, m), pl.ds(j0 + jj, 1), :] = lcol[:, None, :]
+                # rank-1 update restricted to the remaining panel columns
+                lrow = jnp.where(cols_w > jj, lcol[:w][None], 0.0)  # (1,w,L)
+                blk = a_s[pl.ds(j0, m), pl.ds(j0, w), :]
+                a_s[pl.ds(j0, m), pl.ds(j0, w), :] = \
+                    blk - lcol[:, None, :] * lrow
 
         m2 = n - j0 - w
         if m2 > 0:
-            def trail_col(c, _, j0=j0, w=w, m2=m2):
-                pc = a_s[pl.ds(j0 + w, m2), pl.ds(j0 + c, 1), :]    # (m2,1,L)
-                pr = pc[:, 0, :][None]                              # (1,m2,L)
-                tr = a_s[pl.ds(j0 + w, m2), pl.ds(j0 + w, m2), :]
-                a_s[pl.ds(j0 + w, m2), pl.ds(j0 + w, m2), :] = tr - pc * pr
-                return 0
+            trs = [a_s[pl.ds(j0 + w, m2), pl.ds(j0 + w, m2), :]
+                   for a_s in mats]
+            for cc in range(w):
+                for s in range(ns):
+                    pc = lcols[s][cc][w:]                   # (m2,L)
+                    trs[s] = trs[s] - pc[:, None, :] * pc[None]
+            for s, a_s in enumerate(mats):
+                a_s[pl.ds(j0 + w, m2), pl.ds(j0 + w, m2), :] = trs[s]
 
-            jax.lax.fori_loop(0, w, trail_col, 0)
+
+def _factor_blocked(a_s, n: int):
+    """Blocked lane-major Cholesky of one matrix (see _factor_multi)."""
+    _factor_multi([a_s], n)
 
 
-def _subst_blocked(a_s, x_ref, n: int):
-    """Solve L L^T x = b in place in ``x_ref`` given L factored in ``a_s``.
-    Column updates are restricted to the static suffix (forward) / prefix
-    (backward) blocks."""
+def _subst_fwd_multi(pairs, n: int):
+    """Forward substitution L y = b for several independent (factor ref,
+    rhs ref-or-view) pairs, interleaved (see _factor_multi for why).  Each
+    ``x_ref`` may be a ref or a sliceable ref view with shape (n, r_s, L);
+    column updates are restricted to the static suffix block."""
     nb = (n + PANEL - 1) // PANEL
 
     for jb in range(nb):
@@ -83,18 +98,24 @@ def _subst_blocked(a_s, x_ref, n: int):
         m = n - j0
         rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 0)
 
-        def fwd_col(jj, _, j0=j0, m=m, rows_m=rows_m):
+        for jj in range(w):
             j0jj = j0 + jj
-            lj = a_s[pl.ds(j0jj, 1), pl.ds(j0jj, 1), :]             # (1,1,L)
-            yj = x_ref[pl.ds(j0jj, 1), :, :] / lj                   # (1,r,L)
-            col = a_s[pl.ds(j0, m), pl.ds(j0jj, 1), :][:, 0, :]     # (m,L)
-            colm = jnp.where(rows_m > jj, col, 0.0)
-            xs = x_ref[pl.ds(j0, m), :, :]
-            x_ref[pl.ds(j0, m), :, :] = xs - colm[:, None, :] * yj
-            x_ref[pl.ds(j0jj, 1), :, :] = yj
-            return 0
+            yjs = []
+            for a_s, x_ref in pairs:
+                lj = a_s[pl.ds(j0jj, 1), pl.ds(j0jj, 1), :]         # (1,1,L)
+                yjs.append(x_ref[pl.ds(j0jj, 1), :, :] / lj)        # (1,r,L)
+            for s, (a_s, x_ref) in enumerate(pairs):
+                col = a_s[pl.ds(j0, m), pl.ds(j0jj, 1), :][:, 0, :]  # (m,L)
+                colm = jnp.where(rows_m > jj, col, 0.0)
+                xs = x_ref[pl.ds(j0, m), :, :]
+                x_ref[pl.ds(j0, m), :, :] = xs - colm[:, None, :] * yjs[s]
+                x_ref[pl.ds(j0jj, 1), :, :] = yjs[s]
 
-        jax.lax.fori_loop(0, w, fwd_col, 0)
+
+def _subst_bwd_multi(pairs, n: int):
+    """Backward substitution L^T x = y for several independent pairs,
+    interleaved.  Row updates are restricted to the static prefix block."""
+    nb = (n + PANEL - 1) // PANEL
 
     for jb in range(nb - 1, -1, -1):
         j0 = jb * PANEL
@@ -102,19 +123,38 @@ def _subst_blocked(a_s, x_ref, n: int):
         mt = j0 + w
         cols_mt = jax.lax.broadcasted_iota(jnp.int32, (mt, LANES), 0)
 
-        def bwd_col(ii, _, j0=j0, w=w, mt=mt, cols_mt=cols_mt):
-            jj = w - 1 - ii
+        for jj in range(w - 1, -1, -1):
             j = j0 + jj
-            lj = a_s[pl.ds(j, 1), pl.ds(j, 1), :]
-            xj = x_ref[pl.ds(j, 1), :, :] / lj                      # (1,r,L)
-            row = a_s[pl.ds(j, 1), pl.ds(0, mt), :][0]              # (mt,L)
-            rowm = jnp.where(cols_mt < j, row, 0.0)
-            xp = x_ref[pl.ds(0, mt), :, :]
-            x_ref[pl.ds(0, mt), :, :] = xp - rowm[:, None, :] * xj
-            x_ref[pl.ds(j, 1), :, :] = xj
-            return 0
+            xjs = []
+            for a_s, x_ref in pairs:
+                lj = a_s[pl.ds(j, 1), pl.ds(j, 1), :]
+                xjs.append(x_ref[pl.ds(j, 1), :, :] / lj)           # (1,r,L)
+            for s, (a_s, x_ref) in enumerate(pairs):
+                row = a_s[pl.ds(j, 1), pl.ds(0, mt), :][0]          # (mt,L)
+                rowm = jnp.where(cols_mt < j, row, 0.0)
+                xp = x_ref[pl.ds(0, mt), :, :]
+                x_ref[pl.ds(0, mt), :, :] = xp - rowm[:, None, :] * xjs[s]
+                x_ref[pl.ds(j, 1), :, :] = xjs[s]
 
-        jax.lax.fori_loop(0, w, bwd_col, 0)
+
+def _subst_fwd(a_s, x_ref, n: int):
+    _subst_fwd_multi([(a_s, x_ref)], n)
+
+
+def _subst_bwd(a_s, x_ref, n: int):
+    _subst_bwd_multi([(a_s, x_ref)], n)
+
+
+def _subst_blocked(a_s, x_ref, n: int):
+    """Solve L L^T x = b in place in ``x_ref`` given L factored in ``a_s``."""
+    _subst_fwd(a_s, x_ref, n)
+    _subst_bwd(a_s, x_ref, n)
+
+
+def _subst_multi(pairs, n: int):
+    """Solve L L^T x = b for several independent pairs, interleaved."""
+    _subst_fwd_multi(pairs, n)
+    _subst_bwd_multi(pairs, n)
 
 
 def _cho_solve_kernel_blocked(a_ref, b_ref, x_ref, a_s, n: int, r: int):
@@ -189,43 +229,48 @@ def _spd_solve_vmap(axis_size, in_batched, a, rhs):
 # ---------------------------------------------------------------------------
 
 def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred,
-                   n: int, c: int, k: int, iters: int, relax: float):
+                   n: int, c: int, k: int, iters: int, relax: float,
+                   xcol0: int = 1):
     """Delassus accumulation + projected contact sweep, shared by the fused
-    kernels.  ``x_s[:, 1:, :]`` holds the Delassus columns W = Minv J^T;
+    kernels.  ``x_s[:, xcol0:, :]`` holds the Delassus columns W = Minv J^T;
     contact rows are in block order [x-rows (k); y-rows; z-rows].  Returns
     the post-contact velocity (n, 1, L)."""
     vp_row = v_pred[:, 0, :][None]                        # (1,n,L)
     b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
     bhat = b - target_ref[...]
 
-    # Delassus operator A_c = J W via rank-1 accumulation over dofs
-    ac_s[...] = jnp.zeros_like(ac_s)
-
-    def delassus_step(d, _):
-        jcol = jf_ref[:, pl.ds(d, 1), :]                  # (c,1,L)
-        wrow = x_s[pl.ds(d, 1), 1:, :][0][None]           # (1,c,L)
-        ac_s[...] = ac_s[...] + jcol * wrow
-        return 0
-
-    jax.lax.fori_loop(0, n, delassus_step, 0)
-    diag = jnp.sum(jnp.abs(ac_s[...]), axis=1, keepdims=True) + 1e-9
+    # Delassus operator A_c = J W: rank-1 accumulation over dofs on VALUES,
+    # panel-chunked reads, one scratch write (the per-dof ref RMW loop cost
+    # 2 full (c,c,L) VMEM passes per dof)
+    acc = jnp.zeros((c, c, v_pred.shape[-1]), v_pred.dtype)
+    for d0 in range(0, n, PANEL):
+        dw = min(PANEL, n - d0)
+        jblk = jf_ref[:, pl.ds(d0, dw), :]                # (c,dw,L)
+        wblk = x_s[pl.ds(d0, dw), xcol0:, :]              # (dw,c,L)
+        for d in range(dw):
+            acc = acc + jblk[:, d:d + 1, :] * wblk[d][None]
+    ac_s[...] = acc
+    diag = jnp.sum(jnp.abs(acc), axis=1, keepdims=True) + 1e-9
     mu = mu_ref[...]                                      # (k,1,L)
 
-    def sweep(i, lam):
+    # python-unrolled: the sweep is a sequential chain of tiny matvecs that
+    # runs ~16x off its flop time under fori_loop -- unrolling (iters is
+    # static and small) removes per-trip loop machinery and lets Mosaic
+    # schedule across iterations
+    inv_diag = relax / diag
+    lam = jnp.zeros((c, 1, v_pred.shape[-1]), v_pred.dtype)
+    for _ in range(iters):
         lam_row = lam[:, 0, :][None]                      # (1,c,L)
-        g = jnp.sum(ac_s[...] * lam_row, axis=1, keepdims=True) + bhat
-        lam = lam - relax * g / diag
+        g = jnp.sum(acc * lam_row, axis=1, keepdims=True) + bhat
+        lam = lam - g * inv_diag
         ln = jnp.maximum(lam[2 * k:], 0.0)
         lim = mu * ln
         lx = jnp.clip(lam[:k], -lim, lim)
         ly = jnp.clip(lam[k:2 * k], -lim, lim)
-        return jnp.concatenate([lx, ly, ln], axis=0)
-
-    lam = jax.lax.fori_loop(0, iters, sweep,
-                            jnp.zeros((c, 1, v_pred.shape[-1]),
-                                      v_pred.dtype))
+        lam = jnp.concatenate([lx, ly, ln], axis=0)
     lam_row = lam[:, 0, :][None]                          # (1,c,L)
-    return v_pred + jnp.sum(x_s[:, 1:, :] * lam_row, axis=1, keepdims=True)
+    return v_pred + jnp.sum(x_s[:, xcol0:, :] * lam_row, axis=1,
+                            keepdims=True)
 
 
 def _fused_contact_kernel(a_ref, rhs_ref, jf_ref, target_ref, mu_ref,

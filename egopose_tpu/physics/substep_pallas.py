@@ -39,8 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fk_pallas import _build_topo, _fk_compute
-from .linalg_pallas import (LANES, _contact_sweep, _factor_blocked,
-                            _subst_blocked)
+from .linalg_pallas import (LANES, _contact_sweep, _factor_multi,
+                            _subst_blocked, _subst_multi)
 
 
 # ---------------------------------------------------------------------------
@@ -417,8 +417,8 @@ def _lane_integrate(st, q, v_new, dtype):
 
 def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
                     ndc_ref, masks_ref, bodyc_ref, pdm_ref, cpc_ref,
-                    oq_ref, ov_ref, a_s, x_s, ac_s, xpd_s, jf_s, tgt_s, mu_s,
-                    *, st, n_frames, iters, relax, dtype):
+                    oq_ref, ov_ref, a_s, a2_s, x_s, ac_s, xpd_s, jf_s,
+                    tgt_s, mu_s, *, st, n_frames, iters, relax, dtype):
     nd = st["nd"]
     k = st["k"]
     c3 = 3 * k
@@ -447,11 +447,26 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
         mmat, bias, qfb, e, rhspd, jf, target, mu = _lane_prep(
             st, C, q, v, ctrl, jkp_full, jkd_full, dtype)
 
-        # ---- stable-PD solve (engine.stable_pd_torque) ------------------
+        # The stable-PD solve (engine.stable_pd_torque) and the dynamics
+        # solve (engine smooth_dynamics) are independent up to the torque:
+        # both matrices derive from mmat, and the Delassus columns M^-1 J^T
+        # don't see the torque either.  Factor both matrices INTERLEAVED
+        # (the elimination chain runs far below the VPU roofline, so the
+        # second factorization rides in the first one's latency shadow),
+        # substitute [PD rhs | J^T] together, and only the dt*qfrc column
+        # substitutes after the torque.  Same per-op math as the sequential
+        # form -- only the schedule changes.
         a_s[...] = mmat + jnp.where(eq, dt * jkd_full[:, None, :], 0.0)
-        _factor_blocked(a_s, nd)
+        a2_s[...] = mmat + jnp.where(eq, dt * C["damping"][..., None], 0.0)
+        _factor_multi([a_s, a2_s], nd)
+
+        jf_s[...] = jf                                 # (3k,nd,L)
+        tgt_s[...] = target[:, None, :]
+        mu_s[...] = mu[:, None, :]
         xpd_s[...] = rhspd[:, None, :]
-        _subst_blocked(a_s, xpd_s, nd)
+        x_s[...] = jnp.stack([jf[i] for i in range(c3)], axis=1)
+        _subst_multi([(a_s, xpd_s), (a2_s, x_s)], nd)
+
         qacc_pd = xpd_s[...][:, 0, :]                  # (nd,L)
         torque = -jkp_full[6:] * e[6:] \
             - jkd_full[6:] * (v[6:] + dt * qacc_pd[6:])
@@ -459,18 +474,11 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
         qfrc = jnp.concatenate([qfb[:6], qfb[6:] + torque * C["gear"]],
                                axis=0)
 
-        # ---- dynamics solve: qacc + Delassus columns --------------------
-        jf_s[...] = jf                                 # (3k,nd,L)
-        tgt_s[...] = target[:, None, :]
-        mu_s[...] = mu[:, None, :]
-        a_s[...] = mmat + jnp.where(eq, dt * C["damping"][..., None], 0.0)
-        _factor_blocked(a_s, nd)
-        x_s[:, 0:1, :] = (qfrc * dt)[:, None, :]
-        x_s[:, 1:, :] = jnp.stack([jf[i] for i in range(c3)], axis=1)
-        _subst_blocked(a_s, x_s, nd)
-        v_pred = v[:, None, :] + x_s[:, 0:1, :]
+        xpd_s[...] = (qfrc * dt)[:, None, :]           # reuse for qacc col
+        _subst_blocked(a2_s, xpd_s, nd)
+        v_pred = v[:, None, :] + xpd_s[...]
         v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
-                               nd, c3, k, iters, relax)[:, 0, :]
+                               nd, c3, k, iters, relax, xcol0=0)[:, 0, :]
 
         oq_ref[...] = _lane_integrate(st, q, v_new, dtype)
         ov_ref[...] = v_new
@@ -545,7 +553,8 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         out_shape=[jax.ShapeDtypeStruct((nq, bp), dtype),
                    jax.ShapeDtypeStruct((nd, bp), dtype)],
         scratch_shapes=[pltpu.VMEM((nd, nd, LANES), dtype),
-                        pltpu.VMEM((nd, 1 + c3, LANES), dtype),
+                        pltpu.VMEM((nd, nd, LANES), dtype),
+                        pltpu.VMEM((nd, c3, LANES), dtype),
                         pltpu.VMEM((c3, c3, LANES), dtype),
                         pltpu.VMEM((nd, 1, LANES), dtype),
                         pltpu.VMEM((c3, nd, LANES), dtype),
