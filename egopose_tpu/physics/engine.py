@@ -100,6 +100,13 @@ class ContactParams(NamedTuple):
                              # profile identified.  TPU only; single-env and
                              # CPU calls fall back to the split path.
                              # Takes precedence over pd_fused/fused_solver.
+    sparse_ldl: bool = True  # inside the substep-resident kernel, solve the
+                             # stable-PD and dynamics systems with the sparse
+                             # tree-structured LDL^T (ldl_pallas.py,
+                             # compressed ancestor-slot rows, zero fill-in)
+                             # instead of the dense blocked Cholesky --
+                             # ~10x fewer multiplies on the humanoid tree.
+                             # Ignored outside the resident kernel.
     klim: float = 200.0      # joint-limit stiffness (N m / rad)
     blim: float = 5.0        # joint-limit damping (N m s / rad)
 

@@ -39,6 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fk_pallas import _build_topo, _fk_compute
+from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_solve,
+                         rows_from_dense)
 from .linalg_pallas import (LANES, _contact_sweep, _factor_multi,
                             _subst_blocked, _subst_multi)
 
@@ -93,6 +95,9 @@ def _build_static(m, params):
         cp_mu=np.asarray(m.cpoint_mu, np.float64),
         pdm=np.asarray(m.point_dof_mask, np.float64),   # (nd, ncp)
         dt=float(np.asarray(m.timestep)),
+        anc_dofs=(anc_dofs := dof_anc_lists(m.anc_mask)),
+        anc_segs=anc_segments(anc_dofs),
+        sparse_ldl=bool(params.sparse_ldl),
         k=min(params.max_contacts, m.ncpoint),
         margin=float(params.margin), beta=float(params.beta),
         slop=float(params.slop), klim=float(params.klim),
@@ -447,36 +452,63 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
         mmat, bias, qfb, e, rhspd, jf, target, mu = _lane_prep(
             st, C, q, v, ctrl, jkp_full, jkd_full, dtype)
 
-        # The stable-PD solve (engine.stable_pd_torque) and the dynamics
-        # solve (engine smooth_dynamics) are independent up to the torque:
-        # both matrices derive from mmat, and the Delassus columns M^-1 J^T
-        # don't see the torque either.  Factor both matrices INTERLEAVED
-        # (the elimination chain runs far below the VPU roofline, so the
-        # second factorization rides in the first one's latency shadow),
-        # substitute [PD rhs | J^T] together, and only the dt*qfrc column
-        # substitutes after the torque.  Same per-op math as the sequential
-        # form -- only the schedule changes.
-        a_s[...] = mmat + jnp.where(eq, dt * jkd_full[:, None, :], 0.0)
-        a2_s[...] = mmat + jnp.where(eq, dt * C["damping"][..., None], 0.0)
-        _factor_multi([a_s, a2_s], nd)
-
         jf_s[...] = jf                                 # (3k,nd,L)
         tgt_s[...] = target[:, None, :]
         mu_s[...] = mu[:, None, :]
-        xpd_s[...] = rhspd[:, None, :]
-        x_s[...] = jnp.stack([jf[i] for i in range(c3)], axis=1)
-        _subst_multi([(a_s, xpd_s), (a2_s, x_s)], nd)
+        jt = jnp.stack([jf[i] for i in range(c3)], axis=1)  # J^T (nd,c3,L)
 
-        qacc_pd = xpd_s[...][:, 0, :]                  # (nd,L)
+        if st["sparse_ldl"]:
+            # Sparse tree-structured LDL^T (ldl_pallas): the mass matrix has
+            # kinematic-tree sparsity, so the leaves-first factorization has
+            # zero fill-in -- ~10x fewer multiplies than the dense blocked
+            # Cholesky.  Same systems, different (exact) algorithm.
+            anc, segs = st["anc_dofs"], st["anc_segs"]
+            mr, dv = rows_from_dense(mmat, segs, nd)
+
+            # ---- stable-PD solve (engine.stable_pd_torque) --------------
+            mr_pd = list(mr)
+            d_pd = [dv[i] + dt * jkd_full[i:i + 1] for i in range(nd)]
+            invd_pd = ldl_factor(mr_pd, d_pd, anc)
+            xpd = [rhspd[i:i + 1] for i in range(nd)]
+            ldl_solve(mr_pd, invd_pd, anc, xpd)
+            qacc_pd = jnp.concatenate(xpd, axis=0)     # (nd,L)
+        else:
+            # Dense blocked Cholesky: the PD and dynamics factorizations are
+            # independent (both derive from mmat); interleave them so the
+            # second rides in the first one's latency shadow.
+            a_s[...] = mmat + jnp.where(eq, dt * jkd_full[:, None, :], 0.0)
+            a2_s[...] = mmat + jnp.where(eq,
+                                         dt * C["damping"][..., None], 0.0)
+            _factor_multi([a_s, a2_s], nd)
+            xpd_s[...] = rhspd[:, None, :]
+            x_s[...] = jt
+            _subst_multi([(a_s, xpd_s), (a2_s, x_s)], nd)
+            qacc_pd = xpd_s[...][:, 0, :]              # (nd,L)
+
         torque = -jkp_full[6:] * e[6:] \
             - jkd_full[6:] * (v[6:] + dt * qacc_pd[6:])
         torque = jnp.clip(torque, -tlim, tlim)
         qfrc = jnp.concatenate([qfb[:6], qfb[6:] + torque * C["gear"]],
                                axis=0)
 
-        xpd_s[...] = (qfrc * dt)[:, None, :]           # reuse for qacc col
-        _subst_blocked(a2_s, xpd_s, nd)
-        v_pred = v[:, None, :] + xpd_s[...]
+        # ---- dynamics solve: qacc + Delassus columns --------------------
+        if st["sparse_ldl"]:
+            d_dyn = [dv[i] + dt * C["damping"][i:i + 1] for i in range(nd)]
+            invd_dyn = ldl_factor(mr, d_dyn, anc)
+            dq = qfrc * dt
+            xv = [jnp.concatenate([dq[i:i + 1], jt[i]], axis=0)
+                  for i in range(nd)]                  # (1+c3,L) per dof
+            ldl_solve(mr, invd_dyn, anc, xv)
+            for i in range(nd):
+                x_s[pl.ds(i, 1), :, :] = xv[i][1:][None]
+            qacc_col = jnp.concatenate([xv[i][0:1] for i in range(nd)],
+                                       axis=0)
+            v_pred = (v + qacc_col)[:, None, :]
+        else:
+            xpd_s[...] = (qfrc * dt)[:, None, :]       # reuse for qacc col
+            _subst_blocked(a2_s, xpd_s, nd)
+            v_pred = v[:, None, :] + xpd_s[...]
+
         v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
                                nd, c3, k, iters, relax, xcol0=0)[:, 0, :]
 

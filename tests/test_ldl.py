@@ -1,0 +1,141 @@
+"""Sparse tree-structured LDL^T (physics/ldl_pallas.py) vs dense solves."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from egopose_tpu.physics import parse_mjcf, build_model
+from egopose_tpu.physics import ldl_pallas as LDL
+
+XML = "assets/mujoco_models/humanoid_1205_v1.xml"
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_model(parse_mjcf(XML), dtype=jnp.float64)
+
+
+def test_anc_lists_nest(model):
+    """The compressed layout relies on ancestor lists nesting along chains:
+    anc[anc[d][s]] == anc[d][:s] for every dof and slot."""
+    anc = LDL.dof_anc_lists(model.anc_mask)
+    assert len(anc) == 58 and anc[0] == ()
+    for d in range(len(anc)):
+        for s, j in enumerate(anc[d]):
+            assert anc[j] == anc[d][:s], (d, s, j)
+    # root free joint is fully coupled
+    assert anc[5] == (0, 1, 2, 3, 4)
+
+
+def test_ldl_solve_matches_dense(model):
+    """Factor+solve a random diagonally-dominant matrix with the humanoid's
+    tree sparsity; compare against numpy dense solve, multi-lane, multi-rhs."""
+    anc = LDL.dof_anc_lists(model.anc_mask)
+    segs = LDL.anc_segments(anc)
+    n, L, r = len(anc), 4, 5
+    rng = np.random.RandomState(0)
+    mask = np.asarray(model.anc_mask) > 0
+    mask = (mask | mask.T | np.eye(n, dtype=bool))
+    a = rng.randn(n, n, L)
+    a = a + a.transpose(1, 0, 2)
+    a = a * mask[:, :, None] + 2.0 * n * np.eye(n)[:, :, None]
+    b = rng.randn(n, r, L)
+
+    mrows, dvals = LDL.rows_from_dense(jnp.asarray(a), segs, n)
+    invd = LDL.ldl_factor(mrows, dvals, anc)
+    xv = [jnp.asarray(b[d]) for d in range(n)]
+    LDL.ldl_solve(mrows, invd, anc, xv)
+    x = np.stack([np.asarray(v) for v in xv], axis=0)     # (n, r, L)
+
+    for lane in range(L):
+        ref = np.linalg.solve(a[:, :, lane], b[:, :, lane])
+        np.testing.assert_allclose(x[:, :, lane], ref, rtol=1e-9, atol=1e-9)
+
+
+def test_ldl_matches_crba_mass_matrix(model):
+    """The structural claim behind the sparsity: entries of the CRBA mass
+    matrix outside the ancestor mask are exactly zero."""
+    from egopose_tpu.physics import engine as E
+    rng = np.random.RandomState(1)
+    qpos = jnp.asarray(np.concatenate([[0, 0, 0.9, 1, 0, 0, 0],
+                                       0.3 * rng.randn(52)]))
+    x = E.fk(model, qpos)
+    mmat = E.crba(model, x)
+    mask = np.asarray(model.anc_mask) > 0
+    mask = mask | mask.T | np.eye(mask.shape[0], dtype=bool)
+    off = np.asarray(mmat) * (~mask)
+    assert np.abs(off).max() == 0.0
+
+
+def test_ldl_substep_solve_chain(model):
+    """The substep kernel's sparse branch, replayed at the value level:
+    stable-PD solve + dynamics solve [dt*qfrc | J^T] via compressed LDL
+    against the dense solves, on real CRBA matrices from _lane_prep."""
+    import yaml
+    import jax
+    from egopose_tpu.physics import engine as E
+    from egopose_tpu.physics import substep_pallas as SP
+
+    cfg = yaml.safe_load(open("config/egomimic/subject_03.yml"))
+    jp = list(zip(*cfg["joint_params"]))
+    jkp = jnp.array(np.array(jp[1], dtype=float) * cfg["jkp_multiplier"])
+    jkd = jnp.array(np.array(jp[2], dtype=float) * cfg["jkp_multiplier"])
+
+    rng = np.random.RandomState(7)
+    B = 4
+    qpos = np.tile(np.concatenate(
+        [[0, 0, 0.85, 1, 0, 0, 0], 0.05 * rng.randn(52)]), (B, 1))
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=1, keepdims=True)
+    qpos = jnp.asarray(qpos + 0.01 * rng.randn(B, 59))
+    qvel = 0.1 * jnp.asarray(rng.randn(B, 58))
+    ctrl = 0.1 * jnp.asarray(rng.randn(B, 52))
+
+    params = E.DEFAULT_CONTACT._replace(sparse_ldl=True)
+    st = SP._build_static(model, params)
+    assert st["sparse_ldl"] and len(st["anc_dofs"]) == 58
+    ndc, masks, bodyc, cpc = SP._packed_consts(st)
+    C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
+                          jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
+                          jnp.asarray(cpc))
+    zeros6 = jnp.zeros(6)
+    jkd_full = jnp.broadcast_to(
+        jnp.concatenate([zeros6, jkd])[:, None], (58, B))
+    jkp_full = jnp.broadcast_to(
+        jnp.concatenate([zeros6, jkp])[:, None], (58, B))
+    mmat, bias, qfb, e, rhspd, jf, target, mu = SP._lane_prep(
+        st, C, qpos.T, qvel.T, ctrl.T, jkp_full, jkd_full, jnp.float64)
+
+    nd, dt, c3 = 58, st["dt"], 3 * st["k"]
+    anc, segs = st["anc_dofs"], st["anc_segs"]
+
+    # --- sparse chain exactly as the kernel branch wires it ---
+    mr, dv = LDL.rows_from_dense(mmat, segs, nd)
+    mr_pd = list(mr)
+    d_pd = [dv[i] + dt * jkd_full[i:i + 1] for i in range(nd)]
+    invd_pd = LDL.ldl_factor(mr_pd, d_pd, anc)
+    xpd = [rhspd[i:i + 1] for i in range(nd)]
+    LDL.ldl_solve(mr_pd, invd_pd, anc, xpd)
+    qacc_pd = np.asarray(jnp.concatenate(xpd, axis=0))      # (nd,B)
+
+    jt = jnp.stack([jf[i] for i in range(c3)], axis=1)      # (nd,c3,B)
+    qfrc = jnp.asarray(rng.randn(58, B))                    # any rhs works
+    d_dyn = [dv[i] + dt * C["damping"][i:i + 1] for i in range(nd)]
+    invd_dyn = LDL.ldl_factor(mr, d_dyn, anc)
+    xv = [jnp.concatenate([(qfrc * dt)[i:i + 1], jt[i]], axis=0)
+          for i in range(nd)]
+    LDL.ldl_solve(mr, invd_dyn, anc, xv)
+    sol = np.stack([np.asarray(v) for v in xv], axis=0)     # (nd,1+c3,B)
+
+    # --- dense references ---
+    for lane in range(B):
+        a_pd = np.asarray(mmat[:, :, lane]) + dt * np.diag(
+            np.asarray(jkd_full[:, lane]))
+        ref_pd = np.linalg.solve(a_pd, np.asarray(rhspd[:, lane]))
+        np.testing.assert_allclose(qacc_pd[:, lane], ref_pd,
+                                   rtol=1e-8, atol=1e-8)
+        a_dy = np.asarray(mmat[:, :, lane]) + dt * np.diag(
+            np.asarray(C["damping"][:, 0]))
+        rhs = np.concatenate([dt * np.asarray(qfrc[:, lane])[:, None],
+                              np.asarray(jt[:, :, lane])], axis=1)
+        ref_dy = np.linalg.solve(a_dy, rhs)
+        np.testing.assert_allclose(sol[:, :, lane], ref_dy,
+                                   rtol=1e-8, atol=1e-8)

@@ -101,36 +101,55 @@ def test_forecast_train_step_8way_matches_single_device():
 
 
 @pytest.mark.slow
-def test_statereg_train_8way_matches_single_device(tmp_path, monkeypatch):
+def test_statereg_train_8way_matches_single_device(tmp_path):
     """Statereg DP (state_reg --dp-devices): chunk-axis sharding, one epoch
     on an 8-way mesh == 1 device (VERDICT r2 item 6; SURVEY 2.3 row DP).
 
     statereg trains in f32 (unlike the f64 agent tests above), so psum
     reduction order makes the equality approximate: the epoch loss must
-    agree to ~1e-4 relative and the trained parameters must track."""
+    agree to ~1e-4 relative and the trained parameters must track.
+
+    Each training runs in a SUBPROCESS with fresh XLA:CPU state: driving
+    two full statereg trainings in-process late in the suite trips
+    XLA:CPU's accumulated-program abort (the same reason the wild-eval
+    chain subprocesses its CLIs, tests/test_wild_eval.py)."""
     import os
+    import pickle
+    import re
+    import subprocess
+    import sys
     import yaml
     REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    from egopose_tpu.cli import state_reg
 
     base = yaml.safe_load(open(f"{REPO}/config/statereg/subject_03.yml"))
     base.update(dict(fr_num=48, fr_margin=3, v_hdim=16, cnn_fdim=12,
                      mlp_dim=[24], num_epoch=1, save_model_interval=0,
                      seed=5))
+    args = ["--cfg", "tiny_dp", "--mode", "train", "--synthetic",
+            "--batch-chunks", "8", "--transfer-dtype", "f32"]
     outs = {}
     for n_dev in (1, 8):
         d = tmp_path / f"dp{n_dev}"
         (d / "config/statereg").mkdir(parents=True)
         yaml.dump(base, open(d / "config/statereg/tiny_dp.yml", "w"))
-        monkeypatch.chdir(d)
-        variables, dataset = state_reg.main(
-            ["--cfg", "tiny_dp", "--mode", "train", "--synthetic",
-             "--batch-chunks", "8", "--dp-devices", str(n_dev),
-             "--transfer-dtype", "f32"])
-        import re
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        driver = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "jax.config.update('jax_enable_x64', True); "
+            "import pickle; from egopose_tpu.cli.state_reg import main; "
+            "v, ds = main(%r); "
+            "pickle.dump(jax.device_get(v), open('vars.pkl', 'wb'))"
+            % (args + ["--dp-devices", str(n_dev)],))
+        proc = subprocess.run([sys.executable, "-c", driver], cwd=str(d),
+                              env=env, capture_output=True, text=True,
+                              timeout=1500)
+        assert proc.returncode == 0, (proc.stdout[-2000:],
+                                      proc.stderr[-2000:])
         log = open(d / "results/statereg/tiny_dp/log/log.txt").read()
         loss = float(re.findall(r"loss (\d+\.\d+)", log)[-1])
-        outs[n_dev] = (jax.device_get(variables), loss)
+        outs[n_dev] = (pickle.load(open(d / "vars.pkl", "rb")), loss)
     v1, l1 = outs[1]
     v8, l8 = outs[8]
     np.testing.assert_allclose(l8, l1, rtol=1e-3)

@@ -51,10 +51,13 @@ qpos = jnp.asarray(qpos + 0.01 * rng.randn(B, 59), jnp.float32)
 qvel = jnp.asarray(0.1 * rng.randn(B, 58), jnp.float32)
 ctrl = jnp.asarray(0.1 * rng.randn(B, 52), jnp.float32)
 
-resident = E.DEFAULT_CONTACT._replace(substep_resident=True)
+resident = E.DEFAULT_CONTACT._replace(
+    substep_resident=True,
+    sparse_ldl=os.environ.get("SPARSE_LDL", "1") == "1")
 
-_orig = dict(prep=SP._lane_prep, factor=SP._factor_blocked,
-             subst=SP._subst_blocked, sweep=SP._contact_sweep)
+_NAMES = {"prep": "_lane_prep", "lfac": "ldl_factor", "lsol": "ldl_solve",
+          "sweep": "_contact_sweep"}
+_orig = {k: getattr(SP, v) for k, v in _NAMES.items()}
 
 
 def _stub_prep(st, C, q, v, ctrl_, jkp_full, jkd_full, dtype):
@@ -97,28 +100,28 @@ def timeit(f):
 
 def run(name, **patches):
     for k_, v_ in patches.items():
-        setattr(SP, {"prep": "_lane_prep", "factor": "_factor_blocked",
-                     "subst": "_subst_blocked",
-                     "sweep": "_contact_sweep"}[k_], v_)
+        setattr(SP, _NAMES[k_], v_)
     try:
         ms = timeit(make_fn())
     finally:
         for k_ in patches:
-            setattr(SP, {"prep": "_lane_prep", "factor": "_factor_blocked",
-                         "subst": "_subst_blocked",
-                         "sweep": "_contact_sweep"}[k_], _orig[k_])
+            setattr(SP, _NAMES[k_], _orig[k_])
     print(json.dumps({"variant": name, "B": B, "ms": round(ms, 2)}),
           flush=True)
     return ms
 
 
+def _stub_ldl_factor(mrows, dvals, anc):
+    return [1.0 / jnp.maximum(d, 1e-12) for d in dvals]
+
+
 full = run("full")
 no_sweep = run("no_sweep",
-               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a: v_pred)
+               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a, **kw: v_pred)
 no_solve = run("no_solve",
-               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a: v_pred,
-               factor=lambda a_s, n: None,
-               subst=lambda a_s, x, n: None)
+               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a, **kw: v_pred,
+               lfac=_stub_ldl_factor,
+               lsol=lambda mrows, invd, anc, xv: None)
 # no_prep (_stub_prep) crashes Mosaic: rank-1 -> rank-3 broadcasts inside
 # the kernel hit "Check failed: limits[i] <= dim(i)".  The residual
 # (no_solve) already bounds prep+limits+integration, so we skip it.

@@ -47,7 +47,9 @@ qvel = jnp.asarray(0.1 * rng.randn(B, 58), jnp.float32)
 ctrl = jnp.asarray(0.1 * rng.randn(B, 52), jnp.float32)
 
 split = E.DEFAULT_CONTACT._replace(substep_resident=False)
-resident = E.DEFAULT_CONTACT._replace(substep_resident=True)
+resident = E.DEFAULT_CONTACT._replace(
+    substep_resident=True,
+    sparse_ldl=os.environ.get("SPARSE_LDL", "1") == "1")
 
 
 def make(params):
