@@ -230,11 +230,14 @@ def _spd_solve_vmap(axis_size, in_batched, a, rhs):
 
 def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred,
                    n: int, c: int, k: int, iters: int, relax: float,
-                   xcol0: int = 1):
+                   xcol0: int = 1, sup_segs=None):
     """Delassus accumulation + projected contact sweep, shared by the fused
     kernels.  ``x_s[:, xcol0:, :]`` holds the Delassus columns W = Minv J^T;
     contact rows are in block order [x-rows (k); y-rows; z-rows].  Returns
-    the post-contact velocity (n, 1, L)."""
+    the post-contact velocity (n, 1, L).  ``sup_segs``: optional static
+    contiguous dof ranges outside which J columns are structurally zero
+    (contact-candidate ancestor dofs) -- the accumulation skips the rest,
+    which contributes exactly nothing."""
     vp_row = v_pred[:, 0, :][None]                        # (1,n,L)
     b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
     bhat = b - target_ref[...]
@@ -243,12 +246,13 @@ def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred,
     # panel-chunked reads, one scratch write (the per-dof ref RMW loop cost
     # 2 full (c,c,L) VMEM passes per dof)
     acc = jnp.zeros((c, c, v_pred.shape[-1]), v_pred.dtype)
-    for d0 in range(0, n, PANEL):
-        dw = min(PANEL, n - d0)
-        jblk = jf_ref[:, pl.ds(d0, dw), :]                # (c,dw,L)
-        wblk = x_s[pl.ds(d0, dw), xcol0:, :]              # (dw,c,L)
-        for d in range(dw):
-            acc = acc + jblk[:, d:d + 1, :] * wblk[d][None]
+    for a, b_ in (sup_segs if sup_segs is not None else ((0, n),)):
+        for d0 in range(a, b_, PANEL):
+            dw = min(PANEL, b_ - d0)
+            jblk = jf_ref[:, pl.ds(d0, dw), :]            # (c,dw,L)
+            wblk = x_s[pl.ds(d0, dw), xcol0:, :]          # (dw,c,L)
+            for d in range(dw):
+                acc = acc + jblk[:, d:d + 1, :] * wblk[d][None]
     ac_s[...] = acc
     diag = jnp.sum(jnp.abs(acc), axis=1, keepdims=True) + 1e-9
     mu = mu_ref[...]                                      # (k,1,L)

@@ -39,8 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fk_pallas import _build_topo, _fk_compute
-from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_solve,
-                         rows_from_dense)
+from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_solve)
 from .linalg_pallas import (LANES, _contact_sweep, _factor_multi,
                             _subst_blocked, _subst_multi)
 
@@ -97,6 +96,11 @@ def _build_static(m, params):
         dt=float(np.asarray(m.timestep)),
         anc_dofs=(anc_dofs := dof_anc_lists(m.anc_mask)),
         anc_segs=anc_segments(anc_dofs),
+        # dofs that any contact candidate can load (static): J columns are
+        # structurally zero outside -- the Delassus accumulation skips them
+        sup_segs=anc_segments(
+            [tuple(np.where(np.asarray(m.point_dof_mask).sum(1) > 0)[0])]
+        )[0],
         sparse_ldl=bool(params.sparse_ldl),
         k=min(params.max_contacts, m.ncpoint),
         margin=float(params.margin), beta=float(params.beta),
@@ -228,7 +232,8 @@ def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc):
         pdm=pdm, cp_radius=cpc[:, 0:1], cp_mu_col=cpc[:, 1:2])
 
 
-def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype):
+def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
+               compressed=False):
     """Everything a substep needs BEFORE the SPD solves, as pure values on
     lane-major arrays (lane width L = q.shape[-1], any size):
 
@@ -237,7 +242,15 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype):
 
     Mirrors engine.{crba,bias_force,limit_qfrc,smooth_dynamics
     pre-solve,contact_blocks} exactly; the kernel and the CPU unit tests
-    share this function."""
+    share this function.
+
+    With ``compressed`` (the sparse-LDL path), the first element is
+    ``(mrows, dvals)`` -- the mass matrix directly in ldl_pallas's
+    compressed ancestor-slot form -- and the dense (nd,nd,L) matrix is
+    never materialized: only the tree-coupled CRBA inner products are
+    computed (the rest of the dense matrix is structurally zero and the
+    u^T half is never needed, since compressed rows live strictly in the
+    lower triangle where anc_mask selects u)."""
     nb, nd = st["nb"], st["nd"]
     k = st["k"]
     L = q.shape[-1]
@@ -263,16 +276,33 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype):
     n3 = cio_w + _cross_n(cmom_d, s_lin)
     f_crb = jnp.concatenate([n3, p3], axis=1)          # (nd,6,L)
 
-    # u[d1,d2] = f_crb[d1] . s[d2];  ut computed directly (no transpose op)
-    u = sum(f_crb[:, j, :][:, None, :] * s[:, j, :][None, :, :]
-            for j in range(6))
-    ut = sum(s[:, j, :][:, None, :] * f_crb[:, j, :][None, :, :]
-             for j in range(6))
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
-    eq = r_iota == c_iota
-    mmat = C["anc"] * u + C["anc_t1"] * ut \
-        + jnp.where(eq, C["armature"][..., None], 0.0)
+    if compressed:
+        # compressed rows only: Mc[d, slot] = f_crb[d] . s[anc_slot(d)]
+        # (same inner product and summation order as the dense u)
+        mrows = []
+        for d in range(nd):
+            segs = st["anc_segs"][d]
+            if not segs:
+                mrows.append(None)
+                continue
+            s_cat = jnp.concatenate([s[a:b] for a, b in segs], axis=0)
+            mrows.append(sum(f_crb[d, j, :] * s_cat[:, j, :]
+                             for j in range(6)))       # (depth_d, L)
+        diag_u = sum(f_crb[:, j, :] * s[:, j, :] for j in range(6))
+        dvals = [diag_u[d:d + 1] + C["armature"][d:d + 1]
+                 for d in range(nd)]
+        mmat = (mrows, dvals)
+    else:
+        # u[d1,d2] = f_crb[d1] . s[d2];  ut computed directly (no transpose)
+        u = sum(f_crb[:, j, :][:, None, :] * s[:, j, :][None, :, :]
+                for j in range(6))
+        ut = sum(s[:, j, :][:, None, :] * f_crb[:, j, :][None, :, :]
+                 for j in range(6))
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
+        eq = r_iota == c_iota
+        mmat = C["anc"] * u + C["anc_t1"] * ut \
+            + jnp.where(eq, C["armature"][..., None], 0.0)
 
     # ---- RNEA bias (engine.bias_force) ----------------------------------
     sq = s * v[:, None, :]                             # (nd,6,L)
@@ -450,7 +480,8 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
         v = ov_ref[...]                                # (nd,L)
 
         mmat, bias, qfb, e, rhspd, jf, target, mu = _lane_prep(
-            st, C, q, v, ctrl, jkp_full, jkd_full, dtype)
+            st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
+            compressed=st["sparse_ldl"])
 
         jf_s[...] = jf                                 # (3k,nd,L)
         tgt_s[...] = target[:, None, :]
@@ -462,8 +493,8 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
             # kinematic-tree sparsity, so the leaves-first factorization has
             # zero fill-in -- ~10x fewer multiplies than the dense blocked
             # Cholesky.  Same systems, different (exact) algorithm.
-            anc, segs = st["anc_dofs"], st["anc_segs"]
-            mr, dv = rows_from_dense(mmat, segs, nd)
+            anc = st["anc_dofs"]
+            mr, dv = mmat                              # compressed prep
 
             # ---- stable-PD solve (engine.stable_pd_torque) --------------
             mr_pd = list(mr)
@@ -510,7 +541,8 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
             v_pred = v[:, None, :] + xpd_s[...]
 
         v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
-                               nd, c3, k, iters, relax, xcol0=0)[:, 0, :]
+                               nd, c3, k, iters, relax, xcol0=0,
+                               sup_segs=st["sup_segs"])[:, 0, :]
 
         oq_ref[...] = _lane_integrate(st, q, v_new, dtype)
         ov_ref[...] = v_new

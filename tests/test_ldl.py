@@ -139,3 +139,54 @@ def test_ldl_substep_solve_chain(model):
         ref_dy = np.linalg.solve(a_dy, rhs)
         np.testing.assert_allclose(sol[:, :, lane], ref_dy,
                                    rtol=1e-8, atol=1e-8)
+
+
+def test_compressed_prep_matches_dense_mmat(model):
+    """_lane_prep(compressed=True) builds the compressed rows directly from
+    the CRBA inner products; they must equal the dense mmat's entries at the
+    ancestor slots bitwise (same products, same summation order)."""
+    import yaml
+    from egopose_tpu.physics import engine as E
+    from egopose_tpu.physics import substep_pallas as SP
+
+    cfg = yaml.safe_load(open("config/egomimic/subject_03.yml"))
+    jp = list(zip(*cfg["joint_params"]))
+    jkp = jnp.array(np.array(jp[1], dtype=float) * cfg["jkp_multiplier"])
+    jkd = jnp.array(np.array(jp[2], dtype=float) * cfg["jkp_multiplier"])
+
+    rng = np.random.RandomState(11)
+    B = 3
+    qpos = np.tile(np.concatenate(
+        [[0, 0, 0.85, 1, 0, 0, 0], 0.05 * rng.randn(52)]), (B, 1))
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=1, keepdims=True)
+    qpos = jnp.asarray(qpos + 0.01 * rng.randn(B, 59))
+    qvel = 0.1 * jnp.asarray(rng.randn(B, 58))
+    ctrl = 0.1 * jnp.asarray(rng.randn(B, 52))
+
+    st = SP._build_static(model, E.DEFAULT_CONTACT._replace(sparse_ldl=True))
+    ndc, masks, bodyc, cpc = SP._packed_consts(st)
+    C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
+                          jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
+                          jnp.asarray(cpc))
+    jkd_full = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros(6), jkd])[:, None], (58, B))
+    jkp_full = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros(6), jkp])[:, None], (58, B))
+    args = (st, C, qpos.T, qvel.T, ctrl.T, jkp_full, jkd_full, jnp.float64)
+
+    dense = SP._lane_prep(*args)[0]                      # (nd,nd,B)
+    mrows, dvals = SP._lane_prep(*args, compressed=True)[0]
+
+    anc = st["anc_dofs"]
+    for d in range(58):
+        np.testing.assert_array_equal(
+            np.asarray(dvals[d][0]), np.asarray(dense[d, d, :]),
+            err_msg=f"diagonal {d}")
+        if anc[d]:
+            ref = np.stack([np.asarray(dense[d, j, :]) for j in anc[d]])
+            np.testing.assert_array_equal(np.asarray(mrows[d]), ref,
+                                          err_msg=f"row {d}")
+    # support segments: exactly the dofs with any contact-candidate mass
+    sup = sorted({d for (a, b) in st["sup_segs"] for d in range(a, b)})
+    pdm = np.asarray(st["pdm"])
+    assert sup == sorted(np.where(pdm.sum(1) > 0)[0].tolist())

@@ -133,3 +133,27 @@ print(json.dumps({
     "prep_plus_integ_ms": round(no_solve, 2),
     "full_ms": round(full, 2),
 }))
+
+
+# ---- finer-grained prep ablation: stub FK (cheap right-shaped outputs) ----
+def _stub_fk(q, topo, dtype):
+    nb = len(topo["parent"]) if isinstance(topo, dict) and "parent" in topo \
+        else 21
+    L = q.shape[-1]
+    row3 = q[0:3] * 1e-6                                  # (3,L)
+    row4 = jnp.concatenate([1.0 + q[0:1] * 0, q[1:4] * 1e-6], axis=0)
+    xpos = jnp.stack([row3] * nb, axis=0)                 # (nb,3,L)
+    xquat = jnp.stack([row4] * nb, axis=0)                # (nb,4,L)
+    com = jnp.stack([row3] * nb, axis=0)
+    srow = jnp.concatenate([q[0:6] * 1e-6], axis=0)       # (6,L)
+    s = jnp.stack([srow] * 58, axis=0)                    # (nd,6,L)
+    return xpos, xquat, com, s
+
+
+_orig_fk = SP._fk_compute
+try:
+    SP._fk_compute = _stub_fk
+    no_fk = run("no_fk")
+finally:
+    SP._fk_compute = _orig_fk
+print(json.dumps({"fk_ms": round(full - no_fk, 2)}))
