@@ -150,6 +150,8 @@ class TrajectoryViewer:
             self.fr = 0
         elif k == glfw.KEY_X:
             self._screenshot()
+        elif k == glfw.KEY_V:
+            self._toggle_video()
         elif glfw.KEY_1 <= k < glfw.KEY_1 + len(self.algos):
             self.algo_ind = k - glfw.KEY_1
             self.fr = min(self.fr, self._len() - 1)
@@ -162,6 +164,43 @@ class TrajectoryViewer:
         else:
             return
         self.update_pose()
+
+    def _toggle_video(self):
+        """'v': start/stop recording the displayed frames to out/video_N.mp4
+        (the reference viewer's video-record key, mjviewer.py:296-364 +
+        save_video)."""
+        if getattr(self, "record", False):
+            self.record = False
+            self._save_video()
+        else:
+            try:
+                self._renderer = getattr(self, "_renderer", None) or \
+                    self._mujoco.Renderer(self.model)
+            except Exception:
+                return  # no offscreen GL on this host
+            self._vid_frames = []
+            self.record = True
+
+    def _save_video(self):
+        import os
+        frames = getattr(self, "_vid_frames", [])
+        self._vid_frames = []
+        if not frames:
+            return
+        os.makedirs("out", exist_ok=True)
+        path = "out/video_%04d" % getattr(self, "vid_ind", 0)
+        self.vid_ind = getattr(self, "vid_ind", 0) + 1
+        try:
+            import cv2
+            h, w = frames[0].shape[:2]
+            vw = cv2.VideoWriter(path + ".mp4",
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 self.fps, (w, h))
+            for f in frames:
+                vw.write(f[..., ::-1])
+            vw.release()
+        except Exception:
+            np.save(path + ".npy", np.stack(frames))
 
     def _screenshot(self):
         import os
@@ -188,6 +227,12 @@ class TrajectoryViewer:
             while viewer.is_running() and not self.stop:
                 self.update_pose()
                 viewer.sync()
+                if getattr(self, "record", False):
+                    try:
+                        self._renderer.update_scene(self.data)
+                        self._vid_frames.append(self._renderer.render())
+                    except Exception:
+                        self.record = False
                 if not self.paused:
                     step = -1 if self.reverse else 1
                     self.fr = int(np.clip(self.fr + step, 0, self._len() - 1))

@@ -205,3 +205,75 @@ def test_contact_dynamics_track_mujoco(setup):
     assert abs(float(jq[2]) - d.qpos[2]) < 0.05
     # standing (not fallen, not bounced) while mujoco stands
     assert 0.7 < float(jq[2]) < 1.0
+
+
+def test_prone_many_contact_truncation_bounded(setup):
+    """ADVICE r2: bound the top-K=8 contact truncation when far more than 8
+    candidate points touch (fall to prone -- trunk, arms, and legs all in
+    ground contact).  The humanoid starts pitched 90 deg just above the
+    floor with zero-target PD and collapses flat.  Checks: (a) the K=8
+    solver stays finite and settles prone like MuJoCo C (root height and
+    no-explosion bounds), (b) K=8 tracks a K=16 run of our own solver
+    closely -- the truncation error proper -- and (c) both runs end at
+    MuJoCo's resting height."""
+    spec, model, mj = setup
+    import yaml
+    from scipy.linalg import cho_factor, cho_solve
+    cfg = yaml.safe_load(open("/root/reference/config/egomimic/subject_03.yml"))
+    jp = list(zip(*cfg["joint_params"]))
+    jkp = np.array(jp[1], dtype=float) * cfg["jkp_multiplier"]
+    jkd = np.array(jp[2], dtype=float) * cfg["jkp_multiplier"]
+    tl = np.array(jp[5], dtype=float)
+
+    qpos0 = np.zeros(spec.nq)
+    qpos0[2] = 0.35                       # just above the floor
+    qpos0[3] = np.cos(np.pi / 4)          # pitched 90 deg about y: prone
+    qpos0[5] = np.sin(np.pi / 4)
+    ctrl = np.zeros(spec.nu)
+
+    d = mujoco.MjData(mj)
+    d.qpos[:] = qpos0
+
+    def mj_pd_step():
+        for _ in range(15):
+            mujoco.mj_forward(mj, d)
+            mfull = np.zeros((mj.nv, mj.nv))
+            mujoco.mj_fullM(mj, d, mfull)
+            kp = np.zeros(mj.nv)
+            kd = np.zeros(mj.nv)
+            kp[6:] = jkp
+            kd[6:] = jkd
+            e = np.concatenate([np.zeros(6), d.qpos[7:] - ctrl])
+            ed = d.qvel.copy()
+            qacc = cho_solve(cho_factor(mfull + np.diag(kd) * mj.opt.timestep),
+                             -d.qfrc_bias - kp * e - kd * ed)
+            tq = -jkp * e[6:] - jkd * (ed + qacc * mj.opt.timestep)[6:]
+            d.ctrl[:] = np.clip(tq, -tl, tl)
+            mujoco.mj_step(mj, d)
+
+    def run(k):
+        params = engine.DEFAULT_CONTACT._replace(max_contacts=k,
+                                                 substep_resident=False)
+        step = jax.jit(lambda a, b: engine.pd_control_step(
+            model, a, b, jnp.array(ctrl), jnp.array(jkp), jnp.array(jkd),
+            jnp.array(tl), 15, params))
+        q, v = jnp.array(qpos0), jnp.zeros(spec.ndof)
+        for _ in range(45):               # 1.5 s at 30 Hz
+            q, v = step(q, v)
+        return np.asarray(q), np.asarray(v)
+
+    for _ in range(45):
+        mj_pd_step()
+    q8, v8 = run(8)
+    q16, v16 = run(16)
+
+    assert np.isfinite(q8).all() and np.isfinite(v8).all()
+    # (b) truncation error proper: K=8 vs K=16 of the same solver
+    rms_trunc = np.sqrt(np.mean((q8 - q16) ** 2))
+    assert rms_trunc < 0.05, f"top-8 truncation diverges from top-16: {rms_trunc}"
+    # (a)+(c) both solvers and MuJoCo settle prone at comparable height,
+    # nothing bounced or tunneled
+    assert 0.0 < q8[2] < 0.45 and 0.0 < q16[2] < 0.45
+    assert abs(q8[2] - d.qpos[2]) < 0.15, (q8[2], d.qpos[2])
+    # settled: residual root speed is small in both engines
+    assert np.linalg.norm(v8[:3]) < 0.5 and np.linalg.norm(d.qvel[:3]) < 0.5

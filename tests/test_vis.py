@@ -31,6 +31,7 @@ def test_vis_family_loads_with_reference_layouts():
         assert m.nq == nq, (name, m.nq)
         assert m.nu == 0
         assert m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_CONTACT
+        assert m.nmat > 0, f"{name}: common/materials.xml include missing"
     assert os.path.exists(os.path.join(MODELS, "template",
                                        "humanoid_template.xml"))
 
@@ -112,6 +113,13 @@ def test_viewer_key_contract():
     assert v.take_ind == 1
     v.key_callback(glfw.KEY_0)
     assert v.show_gt
+    v.key_callback(glfw.KEY_V)   # video record toggles only if offscreen
+    rec = getattr(v, "record", False)  # GL exists; never crashes headless
+    assert rec in (True, False)
+    if rec:
+        v._vid_frames.append(__import__("numpy").zeros((4, 4, 3), "uint8"))
+        v.key_callback(glfw.KEY_V)   # stop + save
+        assert not v.record
     v.key_callback(glfw.KEY_R)
     assert v.stop
     assert v.n_windows() == 4
