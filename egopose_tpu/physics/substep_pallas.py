@@ -183,21 +183,43 @@ def _world_inertias(mass_col, icol, xquat, com):
     return ic, io
 
 
-def _subtree_sum(st, rows):
-    """Reverse-tree accumulation: rows is a list of per-body (1, ..., L)
-    arrays; returns composite[b] = sum over b's subtree (engine
-    body_desc_mask matmul, realized as ~nb adds)."""
-    comp = list(rows)
-    for b in range(st["nb"] - 1, 0, -1):
-        p = st["parent"][b]
-        comp[p] = comp[p] + comp[b]
-    return comp
+def _tree_masks(st):
+    """Constant 0/1 masks that turn the kernel's serial tree recursions into
+    MXU matmuls (numpy, built once per model).  Each mask is derived by
+    simulating the corresponding accumulation loop on basis vectors, so the
+    matmul computes exactly the same linear map:
 
-
-def _gather_dof(st, comp_rows):
-    """Per-dof gather of per-body composite rows -> (nd, ..., L)."""
-    return jnp.concatenate([comp_rows[st["dof_body"][d]]
-                            for d in range(st["nd"])], axis=0)
+      m_vf   (nd,nd): vf      = m_vf @ sq   (velocity seen by each dof's
+                                             predecessor chain, RNEA pass 1)
+      m_vb   (nb,nd): v_body  = m_vb @ sq   (inclusive body velocities)
+      m_ab   (nb,nd): a_body  = a0 + m_ab @ cj  (body accelerations)
+      m_gdds (nd,nb): ftot[d] = sum of rows over subtree(body(d)) -- the
+                      backward subtree sum + per-dof gather in one map
+                      (shared by the RNEA force pass and the CRBA
+                      composite-momentum/inertia sums)
+    """
+    nb, nd = st["nb"], st["nd"]
+    parent, body_dofs = st["parent"], st["body_dofs"]
+    m_vf = np.zeros((nd, nd))
+    m_vb = np.zeros((nb, nd))
+    m_ab = np.zeros((nb, nd))
+    m_vf[3:6, 0:6] = 1.0                     # free-joint rows see full root v
+    m_vb[0, 0:6] = 1.0
+    m_ab[0, 0:6] = 1.0
+    for b in range(1, nb):
+        acc = m_vb[parent[b]].copy()
+        for d in body_dofs[b]:
+            m_vf[d] = acc
+            acc = acc + np.eye(nd)[d]
+        m_vb[b] = acc
+        m_ab[b] = m_ab[parent[b]]
+        for d in body_dofs[b]:
+            m_ab[b, d] += 1.0
+    desc = np.eye(nb)
+    for b in range(nb - 1, 0, -1):
+        desc[parent[b]] += desc[b]
+    m_gdds = desc[[st["dof_body"][d] for d in range(nd)]]
+    return m_vf, m_vb, m_ab, m_gdds
 
 
 def _apply_inertia_n(mass_col, com, ic, v):
@@ -216,19 +238,21 @@ def _apply_inertia_n(mass_col, com, ic, v):
 # pure lane-major substep math (value-level; CPU-testable without pallas)
 # ---------------------------------------------------------------------------
 
-def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc):
+def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem):
     """Views into the packed per-model constant blocks (see _substep_tpu)."""
     nd, nb = st["nd"], st["nb"]
     return dict(
         armature=ndc[:, 0:1], damping=ndc[:, 1:2], stiff_j=ndc[6:, 2:3],
         gear=ndc[6:, 3:4], lo=ndc[6:, 4:5], hi=ndc[6:, 5:6],
-        limited=ndc[6:, 6:7],
+        limited=ndc[6:, 6:7], cmass_dof=ndc[:, 7:8],
         anc=masks[:, :nd][:, :, None],
         anc_t1=masks[:, nd:][:, :, None],            # anc.T * (1 - anc)
         mass_col=bodyc[:, 0:1],
         icol=lambda i, j: bodyc[:, 2 + _SYMIDX[(min(i, j), max(i, j))]:
                                 3 + _SYMIDX[(min(i, j), max(i, j))]],
-        cmass_rows=[bodyc[b:b + 1, 1:2] for b in range(nb)],
+        m_vf=treem[0:nd, 0:nd], m_vb=treem[nd:nd + nb, 0:nd],
+        m_ab=treem[nd + nb:nd + 2 * nb, 0:nd],
+        m_gdds=treem[0:nd, nd:nd + nb],
         pdm=pdm, cp_radius=cpc[:, 0:1], cp_mu_col=cpc[:, 1:2])
 
 
@@ -255,6 +279,11 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     k = st["k"]
     L = q.shape[-1]
     dt = st["dt"]
+    # 0/1-mask matmuls replace the serial tree recursions: each ride the MXU
+    # as one (rows,cols)@(cols,L) contraction instead of ~nb dependent
+    # 1-sublane-row VPU adds (HIGHEST keeps f32 operands exact to ~1 ulp)
+    dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=dtype)
 
     # ---- FK (fk_pallas lane-major composition, bit-exact vs engine.fk) --
     xpos, xquat, com, s = _fk_compute(q, st["topo"], dtype)
@@ -263,15 +292,15 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     # ---- CRBA (engine.crba) ---------------------------------------------
     ic, io = _world_inertias(C["mass_col"], C["icol"], xquat, com)
     mom = C["mass_col"][..., None] * com               # (nb,3,L)
-    cmom = _subtree_sum(st, [mom[b:b + 1] for b in range(nb)])
-    cio = {key: _subtree_sum(st, [e_[b:b + 1] for b in range(nb)])
-           for key, e_ in io.items()}
-
-    cm_d = _gather_dof(st, C["cmass_rows"])            # (nd,1)
-    cmom_d = _gather_dof(st, cmom)                     # (nd,3,L)
+    cm_d = C["cmass_dof"]                              # (nd,1) constant
+    # dof-level composite momentum / inertia: subtree sum + per-dof gather
+    # fused into the single m_gdds map
+    cmom_d = jnp.stack([dot(C["m_gdds"], mom[:, i, :])
+                        for i in range(3)], axis=1)    # (nd,3,L)
+    cio_d = {key: dot(C["m_gdds"], e_) for key, e_ in io.items()}
     p3 = cm_d[..., None] * s_lin + _cross_n(s_ang, cmom_d)
     cio_w = jnp.stack(
-        [sum(_gather_dof(st, _sym(cio, i, j)) * s_ang[:, j, :]
+        [sum(_sym(cio_d, i, j) * s_ang[:, j, :]
              for j in range(3)) for i in range(3)], axis=1)
     n3 = cio_w + _cross_n(cmom_d, s_lin)
     f_crb = jnp.concatenate([n3, p3], axis=1)          # (nd,6,L)
@@ -305,43 +334,27 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
             + jnp.where(eq, C["armature"][..., None], 0.0)
 
     # ---- RNEA bias (engine.bias_force) ----------------------------------
+    # the three forward tree recursions (vf / v_body / a_body) and the
+    # backward force pass are linear maps over dof/body rows: one mask
+    # matmul each (see _tree_masks)
     sq = s * v[:, None, :]                             # (nd,6,L)
-    vf_rows = [None] * nd
-    v_body = [None] * nb
-    root_v = jnp.sum(sq[0:6], axis=0, keepdims=True)   # (1,6,L)
-    zrow = jnp.zeros((1, 6, L), dtype)
-    for d in range(3):
-        vf_rows[d] = zrow
-    for d in range(3, 6):
-        vf_rows[d] = root_v
-    v_body[0] = root_v
-    for b in range(1, nb):
-        acc = v_body[st["parent"][b]]
-        for d in st["body_dofs"][b]:
-            vf_rows[d] = acc
-            acc = acc + sq[d:d + 1]
-        v_body[b] = acc
-    vf = jnp.concatenate(vf_rows, axis=0)              # (nd,6,L)
+    vf = jnp.stack([dot(C["m_vf"], sq[:, j, :])
+                    for j in range(6)], axis=1)        # (nd,6,L)
     cj = _cross_motion_n(vf, sq)                       # (nd,6,L)
     grav = st["gravity"]
     ones1 = jnp.ones((1, L), dtype)
     a0 = jnp.stack([ones1 * 0.0, ones1 * 0.0, ones1 * 0.0,
                     ones1 * float(-grav[0]), ones1 * float(-grav[1]),
                     ones1 * float(-grav[2])], axis=1)  # (1,6,L)
-    a_body = [None] * nb
-    a_body[0] = a0 + jnp.sum(cj[0:6], axis=0, keepdims=True)
-    for b in range(1, nb):
-        acc = a_body[st["parent"][b]]
-        for d in st["body_dofs"][b]:
-            acc = acc + cj[d:d + 1]
-        a_body[b] = acc
-    v_stack = jnp.concatenate(v_body, axis=0)          # (nb,6,L)
-    a_stack = jnp.concatenate(a_body, axis=0)
+    v_stack = jnp.stack([dot(C["m_vb"], sq[:, j, :])
+                         for j in range(6)], axis=1)   # (nb,6,L)
+    a_stack = a0 + jnp.stack([dot(C["m_ab"], cj[:, j, :])
+                              for j in range(6)], axis=1)
     iv = _apply_inertia_n(C["mass_col"], com, ic, v_stack)
     ia = _apply_inertia_n(C["mass_col"], com, ic, a_stack)
     f_b = ia + _cross_force_n(v_stack, iv)             # (nb,6,L)
-    cf = _subtree_sum(st, [f_b[b:b + 1] for b in range(nb)])
-    ftot = _gather_dof(st, cf)                         # (nd,6,L)
+    ftot = jnp.stack([dot(C["m_gdds"], f_b[:, j, :])
+                      for j in range(6)], axis=1)      # (nd,6,L)
     bias = jnp.sum(s * ftot, axis=1)                   # (nd,L)
 
     # ---- joint limits + passive forces (engine smooth_dynamics) ---------
@@ -452,8 +465,8 @@ def _lane_integrate(st, q, v_new, dtype):
 
 def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
                     ndc_ref, masks_ref, bodyc_ref, pdm_ref, cpc_ref,
-                    oq_ref, ov_ref, a_s, a2_s, x_s, ac_s, xpd_s, jf_s,
-                    tgt_s, mu_s, *, st, n_frames, iters, relax, dtype):
+                    treem_ref, oq_ref, ov_ref, a_s, a2_s, x_s, ac_s, xpd_s,
+                    jf_s, tgt_s, mu_s, *, st, n_frames, iters, relax, dtype):
     nd = st["nd"]
     k = st["k"]
     c3 = 3 * k
@@ -467,7 +480,7 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
     # packed per-model constants (pallas kernels cannot capture array
     # constants -- everything arrives as a small 2D input block)
     C = _unpack_consts(st, ndc_ref[...], masks_ref[...], bodyc_ref[...],
-                       pdm_ref[...], cpc_ref[...])
+                       pdm_ref[...], cpc_ref[...], treem_ref[...])
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 1)
     eq = r_iota == c_iota
@@ -558,6 +571,7 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
 def _packed_consts(st):
     """Packed per-model constant blocks fed to the kernel (numpy)."""
     nd = st["nd"]
+    nb = st["nb"]
     ndc = np.zeros((nd, 8))
     ndc[:, 0] = st["armature"]
     ndc[:, 1] = st["damping"]
@@ -566,15 +580,22 @@ def _packed_consts(st):
     ndc[6:, 4] = st["jnt_lo"]
     ndc[6:, 5] = st["jnt_hi"]
     ndc[6:, 6] = st["jnt_limited"]
+    ndc[:, 7] = st["cmass"][[st["dof_body"][d] for d in range(nd)]]
     anc = st["anc"].astype(np.float64)
     masks = np.concatenate([anc, anc.T * (1.0 - anc)], axis=1)
-    bodyc = np.zeros((st["nb"], 8))
+    bodyc = np.zeros((nb, 8))
     bodyc[:, 0] = st["mass"]
     bodyc[:, 1] = st["cmass"]
     for (i, j), idx in _SYMIDX.items():
         bodyc[:, 2 + idx] = st["inertia"][:, i, j]
     cpc = np.stack([st["cp_radius"], st["cp_mu"]], axis=1)
-    return ndc, masks, bodyc, cpc
+    m_vf, m_vb, m_ab, m_gdds = _tree_masks(st)
+    treem = np.zeros((nd + 2 * nb, nd + nb))
+    treem[0:nd, 0:nd] = m_vf
+    treem[nd:nd + nb, 0:nd] = m_vb
+    treem[nd + nb:nd + 2 * nb, 0:nd] = m_ab
+    treem[0:nd, nd:nd + nb] = m_gdds
+    return ndc, masks, bodyc, cpc, treem
 
 def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
                  interpret=False):
@@ -598,7 +619,7 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         tlim = jnp.concatenate([tlim, one], 0)
     bp = qpos.shape[0]
     ncp = st["cp_local"].shape[0]
-    ndc, masks, bodyc, cpc = _packed_consts(st)
+    ndc, masks, bodyc, cpc, treem = _packed_consts(st)
 
     col3 = lambda x: x.T[:, None, :]                   # (B,n) -> (n,1,B)
     bs2 = lambda d0: pl.BlockSpec((d0, LANES), lambda i: (0, i))
@@ -612,7 +633,8 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         grid=(bp // LANES,),
         in_specs=[bs2(nq), bs2(nd), bs2(nu), bs3(nu, 1), bs3(nu, 1),
                   bs3(nu, 1), bsc(nd, 8), bsc(nd, 2 * nd), bsc(st["nb"], 8),
-                  bsc(nd, ncp), bsc(ncp, 2)],
+                  bsc(nd, ncp), bsc(ncp, 2),
+                  bsc(nd + 2 * st["nb"], nd + st["nb"])],
         out_specs=[bs2(nq), bs2(nd)],
         out_shape=[jax.ShapeDtypeStruct((nq, bp), dtype),
                    jax.ShapeDtypeStruct((nd, bp), dtype)],
@@ -630,7 +652,7 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
     )(qpos.T, qvel.T, ctrl.T, col3(jkp), col3(jkd), col3(tlim),
       jnp.asarray(ndc, dtype), jnp.asarray(masks, dtype),
       jnp.asarray(bodyc, dtype), jnp.asarray(st["pdm"], dtype),
-      jnp.asarray(cpc, dtype))
+      jnp.asarray(cpc, dtype), jnp.asarray(treem, dtype))
     return out[0].T[:bsz], out[1].T[:bsz]
 
 
