@@ -258,11 +258,11 @@ def test_prone_many_contact_truncation_bounded(setup):
             model, a, b, jnp.array(ctrl), jnp.array(jkp), jnp.array(jkd),
             jnp.array(tl), 15, params))
         q, v = jnp.array(qpos0), jnp.zeros(spec.ndof)
-        for _ in range(45):               # 1.5 s at 30 Hz
-            q, v = step(q, v)
-        return np.asarray(q), np.asarray(v)
+        for _ in range(90):               # 3.0 s at 30 Hz: the collapse is
+            q, v = step(q, v)             # still in motion at 1.5 s in both
+        return np.asarray(q), np.asarray(v)   # engines (|v_root|~1.4)
 
-    for _ in range(45):
+    for _ in range(90):
         mj_pd_step()
     q8, v8 = run(8)
     q16, v16 = run(16)
