@@ -99,16 +99,22 @@ def ldl_factor(mrows: list, dvals: list, anc: tuple):
     return invd
 
 
-def ldl_solve(mrows: list, invd: list, anc: tuple, xv: list):
-    """Solve (L^T D L) x = b in place in ``xv`` (python list of (r, L)
-    values, b in / x out).  Three sparse sweeps: back-propagate descendants
-    into ancestors (L^T), diagonal scale, then ancestor substitution (L)."""
+def ldl_tsolve(mrows: list, anc: tuple, xv: list):
+    """First sweep only: y = L^-T b in place in ``xv``.  Leaving the solve
+    here lets the contact path build the Delassus as Y^T D^-1 Y with
+    Y = L^-T J^T -- no D/L substitution on the contact columns at all
+    (the remaining two sweeps run on a single column via ldl_fsolve)."""
     n = len(anc)
     for k in range(n - 1, -1, -1):                      # x = L^-T b
         row_k = mrows[k]
         for s in range(len(anc[k])):
             j = anc[k][s]
             xv[j] = xv[j] - row_k[s:s + 1] * xv[k]
+
+
+def ldl_fsolve(mrows: list, invd: list, anc: tuple, xv: list):
+    """Remaining sweeps: x = L^-1 D^-1 y in place in ``xv``."""
+    n = len(anc)
     for k in range(n):                                  # x = D^-1 x
         xv[k] = xv[k] * invd[k]
     for k in range(n):                                  # x = L^-1 x
@@ -117,3 +123,11 @@ def ldl_solve(mrows: list, invd: list, anc: tuple, xv: list):
         for s in range(len(anc[k])):
             acc = acc - row_k[s:s + 1] * xv[anc[k][s]]
         xv[k] = acc
+
+
+def ldl_solve(mrows: list, invd: list, anc: tuple, xv: list):
+    """Solve (L^T D L) x = b in place in ``xv`` (python list of (r, L)
+    values, b in / x out).  Three sparse sweeps: back-propagate descendants
+    into ancestors (L^T), diagonal scale, then ancestor substitution (L)."""
+    ldl_tsolve(mrows, anc, xv)
+    ldl_fsolve(mrows, invd, anc, xv)

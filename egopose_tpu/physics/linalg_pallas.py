@@ -254,15 +254,23 @@ def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred,
             for d in range(dw):
                 acc = acc + jblk[:, d:d + 1, :] * wblk[d][None]
     ac_s[...] = acc
-    diag = jnp.sum(jnp.abs(acc), axis=1, keepdims=True) + 1e-9
-    mu = mu_ref[...]                                      # (k,1,L)
+    lam = _sweep_lam(acc, bhat, mu_ref[...], k, iters, relax)
+    lam_row = lam[:, 0, :][None]                          # (1,c,L)
+    return v_pred + jnp.sum(x_s[:, xcol0:, :] * lam_row, axis=1,
+                            keepdims=True)
 
-    # python-unrolled: the sweep is a sequential chain of tiny matvecs that
-    # runs ~16x off its flop time under fori_loop -- unrolling (iters is
-    # static and small) removes per-trip loop machinery and lets Mosaic
-    # schedule across iterations
+
+def _sweep_lam(acc, bhat, mu, k, iters, relax):
+    """Projected-Jacobi friction sweep on an assembled Delassus ``acc``
+    (c,c,L): returns the converged impulse lam (c,1,L).
+
+    python-unrolled: the sweep is a sequential chain of tiny matvecs that
+    runs ~16x off its flop time under fori_loop -- unrolling (iters is
+    static and small) removes per-trip loop machinery and lets Mosaic
+    schedule across iterations."""
+    diag = jnp.sum(jnp.abs(acc), axis=1, keepdims=True) + 1e-9
     inv_diag = relax / diag
-    lam = jnp.zeros((c, 1, v_pred.shape[-1]), v_pred.dtype)
+    lam = jnp.zeros(bhat.shape, bhat.dtype)               # (c,1,L)
     for _ in range(iters):
         lam_row = lam[:, 0, :][None]                      # (1,c,L)
         g = jnp.sum(acc * lam_row, axis=1, keepdims=True) + bhat
@@ -272,9 +280,50 @@ def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred,
         lx = jnp.clip(lam[:k], -lim, lim)
         ly = jnp.clip(lam[k:2 * k], -lim, lim)
         lam = jnp.concatenate([lx, ly, ln], axis=0)
-    lam_row = lam[:, 0, :][None]                          # (1,c,L)
-    return v_pred + jnp.sum(x_s[:, xcol0:, :] * lam_row, axis=1,
-                            keepdims=True)
+    return lam
+
+
+def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred, invd,
+                       n: int, c: int, k: int, iters: int, relax: float,
+                       sup_segs=None):
+    """Symmetric Delassus accumulation + sweep for the forward-only LDL
+    contact path.  ``x_s`` holds Y = L^-T J^T (ldl_tsolve output) rather
+    than the full W = Minv J^T, and ``invd`` the factorization's per-dof
+    1/D rows, so A_c = J Minv J^T = Y^T D^-1 Y.  Each per-dof term
+    (invd_d * y_d) (x) y_d is symmetric in exact arithmetic, so only the 6
+    lower-triangular (k,k) direction blocks are accumulated -- 2/3 of the
+    rank-1 FMA/broadcast passes of the general J.W form -- and the upper
+    blocks are mirrored with three tiny sublane transposes.  Returns lam;
+    the caller finishes v_new = v_pred + L^-1 D^-1 (Y lam) with one
+    single-column ldl_fsolve (the c substitution columns are never run).
+    All indexing is static, so it runs on refs in the kernel and on plain
+    values in tests (pass ac_s=None there)."""
+    vp_row = v_pred[:, 0, :][None]                        # (1,n,L)
+    b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
+    bhat = b - target_ref[...]
+
+    L = v_pred.shape[-1]
+    blocks = [[jnp.zeros((k, k, L), v_pred.dtype) for _ in range(a + 1)]
+              for a in range(3)]
+    for a0, b0 in (sup_segs if sup_segs is not None else ((0, n),)):
+        for d0 in range(a0, b0, PANEL):
+            dw = min(PANEL, b0 - d0)
+            yblk = x_s[d0:d0 + dw, :, :]                  # (dw,c,L)
+            for d in range(dw):
+                y = yblk[d]                               # (c,L)
+                iy = invd[d0 + d] * y                     # (c,L)
+                for a in range(3):
+                    ya = iy[a * k:(a + 1) * k][:, None, :]      # (k,1,L)
+                    for bb in range(a + 1):
+                        yb = y[bb * k:(bb + 1) * k][None]        # (1,k,L)
+                        blocks[a][bb] = blocks[a][bb] + ya * yb
+    rows = [jnp.concatenate(
+        [blocks[a][bb] if bb <= a else jnp.swapaxes(blocks[bb][a], 0, 1)
+         for bb in range(3)], axis=1) for a in range(3)]
+    acc = jnp.concatenate(rows, axis=0)                   # (c,c,L)
+    if ac_s is not None:
+        ac_s[...] = acc
+    return _sweep_lam(acc, bhat, mu_ref[...], k, iters, relax)
 
 
 def _fused_contact_kernel(a_ref, rhs_ref, jf_ref, target_ref, mu_ref,

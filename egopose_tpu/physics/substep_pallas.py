@@ -39,9 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fk_pallas import _build_topo, _fk_compute
-from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_solve)
-from .linalg_pallas import (LANES, _contact_sweep, _factor_multi,
-                            _subst_blocked, _subst_multi)
+from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_fsolve,
+                         ldl_solve, ldl_tsolve)
+from .linalg_pallas import (LANES, _contact_sweep, _contact_sweep_sym,
+                            _factor_multi, _subst_blocked, _subst_multi)
 
 
 # ---------------------------------------------------------------------------
@@ -537,25 +538,40 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
 
         # ---- dynamics solve: qacc + Delassus columns --------------------
         if st["sparse_ldl"]:
+            # forward-only contact columns: only the L^-T sweep runs on the
+            # 3k J^T columns (Y = L^-T J^T); the Delassus is assembled as
+            # Y^T D^-1 Y from its 6 lower-triangular blocks inside
+            # _contact_sweep_sym, and the D/L substitutions run on exactly
+            # two single columns (qacc and Y lam) instead of 1+3k
             d_dyn = [dv[i] + dt * C["damping"][i:i + 1] for i in range(nd)]
             invd_dyn = ldl_factor(mr, d_dyn, anc)
             dq = qfrc * dt
             xv = [jnp.concatenate([dq[i:i + 1], jt[i]], axis=0)
                   for i in range(nd)]                  # (1+c3,L) per dof
-            ldl_solve(mr, invd_dyn, anc, xv)
+            ldl_tsolve(mr, anc, xv)
+            x0 = [xv[i][0:1] for i in range(nd)]
+            ldl_fsolve(mr, invd_dyn, anc, x0)
             for i in range(nd):
-                x_s[pl.ds(i, 1), :, :] = xv[i][1:][None]
-            qacc_col = jnp.concatenate([xv[i][0:1] for i in range(nd)],
-                                       axis=0)
+                x_s[pl.ds(i, 1), :, :] = xv[i][1:][None]   # Y rows
+            qacc_col = jnp.concatenate(x0, axis=0)
             v_pred = (v + qacc_col)[:, None, :]
+
+            lam = _contact_sweep_sym(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
+                                     invd_dyn, nd, c3, k, iters, relax,
+                                     sup_segs=st["sup_segs"])
+            u = jnp.sum(x_s[...] * lam[:, 0, :][None], axis=1,
+                        keepdims=True)                 # Y lam (nd,1,L)
+            uv = [u[i, :, :] for i in range(nd)]
+            ldl_fsolve(mr, invd_dyn, anc, uv)
+            v_new = v + qacc_col + jnp.concatenate(uv, axis=0)
         else:
             xpd_s[...] = (qfrc * dt)[:, None, :]       # reuse for qacc col
             _subst_blocked(a2_s, xpd_s, nd)
             v_pred = v[:, None, :] + xpd_s[...]
 
-        v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
-                               nd, c3, k, iters, relax, xcol0=0,
-                               sup_segs=st["sup_segs"])[:, 0, :]
+            v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
+                                   nd, c3, k, iters, relax, xcol0=0,
+                                   sup_segs=st["sup_segs"])[:, 0, :]
 
         oq_ref[...] = _lane_integrate(st, q, v_new, dtype)
         ov_ref[...] = v_new

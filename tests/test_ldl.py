@@ -141,6 +141,105 @@ def test_ldl_substep_solve_chain(model):
                                    rtol=1e-8, atol=1e-8)
 
 
+def test_forward_only_contact_path_matches_full(model):
+    """The substep kernel's forward-only contact branch, replayed at the
+    value level: Y = L^-T J^T via ldl_tsolve, Delassus assembled from the 6
+    symmetric blocks (Y^T D^-1 Y, linalg_pallas._contact_sweep_sym), and
+    v_new = v_pred + L^-1 D^-1 (Y lam) -- against the dense W = Minv J^T
+    accumulation and v_new = v_pred + W lam it replaces."""
+    import yaml
+    from egopose_tpu.physics import engine as E
+    from egopose_tpu.physics import substep_pallas as SP
+    from egopose_tpu.physics import linalg_pallas as LIN
+
+    cfg = yaml.safe_load(open("config/egomimic/subject_03.yml"))
+    jp = list(zip(*cfg["joint_params"]))
+    jkp = jnp.array(np.array(jp[1], dtype=float) * cfg["jkp_multiplier"])
+    jkd = jnp.array(np.array(jp[2], dtype=float) * cfg["jkp_multiplier"])
+
+    rng = np.random.RandomState(13)
+    B = 4
+    qpos = np.tile(np.concatenate(
+        [[0, 0, 0.82, 1, 0, 0, 0], 0.05 * rng.randn(52)]), (B, 1))
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=1, keepdims=True)
+    qpos = jnp.asarray(qpos + 0.01 * rng.randn(B, 59))
+    qvel = 0.1 * jnp.asarray(rng.randn(B, 58))
+    ctrl = 0.1 * jnp.asarray(rng.randn(B, 52))
+
+    params = E.DEFAULT_CONTACT._replace(sparse_ldl=True)
+    st = SP._build_static(model, params)
+    ndc, masks, bodyc, cpc, treem = SP._packed_consts(st)
+    C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
+                          jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
+                          jnp.asarray(cpc), jnp.asarray(treem))
+    zeros6 = jnp.zeros(6)
+    jkd_full = jnp.broadcast_to(
+        jnp.concatenate([zeros6, jkd])[:, None], (58, B))
+    jkp_full = jnp.broadcast_to(
+        jnp.concatenate([zeros6, jkp])[:, None], (58, B))
+    mmat, bias, qfb, e, rhspd, jf, target, mu = SP._lane_prep(
+        st, C, qpos.T, qvel.T, ctrl.T, jkp_full, jkd_full, jnp.float64)
+
+    nd, dt, k = 58, st["dt"], st["k"]
+    c3 = 3 * k
+    anc, segs = st["anc_dofs"], st["anc_segs"]
+    iters, relax = params.iters, params.relax
+
+    jt = jnp.stack([jf[i] for i in range(c3)], axis=1)      # (nd,c3,B)
+    qfrc = jnp.asarray(rng.randn(58, B))
+
+    # --- forward-only sparse branch exactly as the kernel wires it ---
+    mr, dv = LDL.rows_from_dense(mmat, segs, nd)
+    d_dyn = [dv[i] + dt * C["damping"][i:i + 1] for i in range(nd)]
+    invd_dyn = LDL.ldl_factor(mr, d_dyn, anc)
+    xv = [jnp.concatenate([(qfrc * dt)[i:i + 1], jt[i]], axis=0)
+          for i in range(nd)]
+    LDL.ldl_tsolve(mr, anc, xv)
+    x0 = [xv[i][0:1] for i in range(nd)]
+    LDL.ldl_fsolve(mr, invd_dyn, anc, x0)
+    qacc_col = jnp.concatenate(x0, axis=0)
+    v_pred = (qvel.T + qacc_col)[:, None, :]
+    y_val = jnp.stack([xv[i][1:] for i in range(nd)], axis=0)  # (nd,c3,B)
+
+    lam = LIN._contact_sweep_sym(
+        jf, target[:, None, :], mu[:, None, :], y_val, None, v_pred,
+        invd_dyn, nd, c3, k, iters, relax, sup_segs=st["sup_segs"])
+    u = jnp.sum(y_val * lam[:, 0, :][None], axis=1, keepdims=True)
+    uv = [u[i, :, :] for i in range(nd)]
+    LDL.ldl_fsolve(mr, invd_dyn, anc, uv)
+    v_new = np.asarray(qvel.T + qacc_col + jnp.concatenate(uv, axis=0))
+
+    # --- dense reference: full W = Minv J^T, G = J W, same sweep ---
+    for lane in range(B):
+        a_dy = np.asarray(mmat[:, :, lane]) + dt * np.diag(
+            np.asarray(C["damping"][:, 0]))
+        w_ref = np.linalg.solve(a_dy, np.asarray(jt[:, :, lane]))
+        g_ref = np.asarray(jf[:, :, lane]) @ w_ref
+        # (1) the symmetric-block Delassus equals the dense one
+        g_sym = np.zeros((c3, c3))
+        y_l = np.asarray(y_val[:, :, lane])
+        for d in range(nd):
+            g_sym += np.outer(float(np.asarray(invd_dyn[d][0, lane]))
+                              * y_l[d], y_l[d])
+        np.testing.assert_allclose(g_sym, g_ref, rtol=1e-8, atol=1e-10)
+        # (2) end-to-end velocity equals the dense-W sweep's
+        vp = np.asarray(v_pred[:, 0, lane])
+        bhat = np.asarray(jf[:, :, lane]) @ vp - np.asarray(target[:, lane])
+        diag = np.abs(g_ref).sum(1) + 1e-9
+        lam_ref = np.zeros(c3)
+        for _ in range(iters):
+            g = g_ref @ lam_ref + bhat
+            lam_ref = lam_ref - relax * g / diag
+            ln = np.maximum(lam_ref[2 * k:], 0.0)
+            lim = np.asarray(mu[:, lane]) * ln
+            lam_ref = np.concatenate([
+                np.clip(lam_ref[:k], -lim, lim),
+                np.clip(lam_ref[k:2 * k], -lim, lim), ln])
+        v_ref = vp + w_ref @ lam_ref
+        np.testing.assert_allclose(v_new[:, lane], v_ref,
+                                   rtol=1e-7, atol=1e-9)
+
+
 def test_compressed_prep_matches_dense_mmat(model):
     """_lane_prep(compressed=True) builds the compressed rows directly from
     the CRBA inner products; they must equal the dense mmat's entries at the
