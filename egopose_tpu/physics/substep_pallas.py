@@ -161,12 +161,12 @@ def _sym(ent, i, j):
     return ent[(i, j)] if (i, j) in ent else ent[(j, i)]
 
 
-def _world_inertias(mass_col, icol, xquat, com):
+def _world_inertias(mass_col, icol, r, com):
     """Per-body world inertia about the com (ic) and about the world origin
     (io), as symmetric-entry dicts of (nb,L) arrays (engine
     spatial_inertia_world + crba's io).  ``mass_col`` (nb,1), ``icol(k,l)``
-    returns the (nb,1) body-frame inertia entry."""
-    r = _rot_entries(xquat)
+    returns the (nb,1) body-frame inertia entry, ``r`` the _rot_entries
+    of xquat (shared with the contact-point transform)."""
     # B[k][j] = sum_l I[k,l] r[j][l]
     bmat = [[sum(icol(k, l) * r[j][l] for l in range(3)) for j in range(3)]
             for k in range(3)]
@@ -239,10 +239,13 @@ def _apply_inertia_n(mass_col, com, ic, v):
 # pure lane-major substep math (value-level; CPU-testable without pallas)
 # ---------------------------------------------------------------------------
 
-def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem):
+def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem, cppk):
     """Views into the packed per-model constant blocks (see _substep_tpu)."""
     nd, nb = st["nd"], st["nb"]
+    ncp = st["cp_local"].shape[0]
     return dict(
+        pick=cppk[0:ncp],
+        pickl=[cppk[(j + 1) * ncp:(j + 2) * ncp] for j in range(3)],
         armature=ndc[:, 0:1], damping=ndc[:, 1:2], stiff_j=ndc[6:, 2:3],
         gear=ndc[6:, 3:4], lo=ndc[6:, 4:5], hi=ndc[6:, 5:6],
         limited=ndc[6:, 6:7], cmass_dof=ndc[:, 7:8],
@@ -291,7 +294,8 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     s_ang, s_lin = s[:, :3, :], s[:, 3:, :]
 
     # ---- CRBA (engine.crba) ---------------------------------------------
-    ic, io = _world_inertias(C["mass_col"], C["icol"], xquat, com)
+    rot = _rot_entries(xquat)
+    ic, io = _world_inertias(C["mass_col"], C["icol"], rot, com)
     mom = C["mass_col"][..., None] * com               # (nb,3,L)
     cm_d = C["cmass_dof"]                              # (nd,1) constant
     # dof-level composite momentum / inertia: subtree sum + per-dof gather
@@ -375,23 +379,15 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     rhspd = -bias - jkp_full * e - jkd_full * v
 
     # ---- contact candidates: top-K deepest (engine.contact_blocks) ------
-    p_rows = []
-    cp_local = st["cp_local"]
-    ncp = cp_local.shape[0]
-    for i in range(ncp):
-        b = st["cp_body"][i]
-        lx, ly, lz = (float(cp_local[i, 0]), float(cp_local[i, 1]),
-                      float(cp_local[i, 2]))
-        qw = xquat[b:b + 1]                            # (1,4,L)
-        loc = jnp.stack([jnp.full((1, L), lx, dtype),
-                         jnp.full((1, L), ly, dtype),
-                         jnp.full((1, L), lz, dtype)], axis=1)
-        # quaternion rotate (matches ops.quat.quat_rotate)
-        uvec = qw[:, 1:4, :]
-        t2 = 2.0 * _cross_n(uvec, loc)
-        p_rows.append(xpos[b:b + 1] + loc + qw[:, 0:1, :] * t2
-                      + _cross_n(uvec, t2))
-    p_all = jnp.concatenate(p_rows, axis=0)            # (ncp,3,L)
+    # world points p_i = xpos[b_i] + R(xquat[b_i]) loc_i as 12 tiny MXU
+    # matmuls with the constant body one-hot PICK (and loc-scaled PICKL_j)
+    # instead of an ncp-iteration quaternion-rotate loop of 1-sublane-row
+    # ops (rotation-matrix application == quat_rotate up to rounding)
+    ncp = st["cp_local"].shape[0]
+    p_all = jnp.stack(
+        [dot(C["pick"], xpos[:, i, :])
+         + sum(dot(C["pickl"][j], rot[i][j]) for j in range(3))
+         for i in range(3)], axis=1)                   # (ncp,3,L)
     phi_all = C["cp_radius"] - p_all[:, 2, :]          # (ncp,L)
 
     cur = phi_all
@@ -466,8 +462,9 @@ def _lane_integrate(st, q, v_new, dtype):
 
 def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
                     ndc_ref, masks_ref, bodyc_ref, pdm_ref, cpc_ref,
-                    treem_ref, oq_ref, ov_ref, a_s, a2_s, x_s, ac_s, xpd_s,
-                    jf_s, tgt_s, mu_s, *, st, n_frames, iters, relax, dtype):
+                    treem_ref, cppk_ref, oq_ref, ov_ref, a_s, a2_s, x_s,
+                    ac_s, xpd_s, jf_s, tgt_s, mu_s,
+                    *, st, n_frames, iters, relax, dtype):
     nd = st["nd"]
     k = st["k"]
     c3 = 3 * k
@@ -481,7 +478,8 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
     # packed per-model constants (pallas kernels cannot capture array
     # constants -- everything arrives as a small 2D input block)
     C = _unpack_consts(st, ndc_ref[...], masks_ref[...], bodyc_ref[...],
-                       pdm_ref[...], cpc_ref[...], treem_ref[...])
+                       pdm_ref[...], cpc_ref[...], treem_ref[...],
+                       cppk_ref[...])
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 1)
     eq = r_iota == c_iota
@@ -611,7 +609,15 @@ def _packed_consts(st):
     treem[nd:nd + nb, 0:nd] = m_vb
     treem[nd + nb:nd + 2 * nb, 0:nd] = m_ab
     treem[0:nd, nd:nd + nb] = m_gdds
-    return ndc, masks, bodyc, cpc, treem
+    # contact-point body one-hot PICK (+ PICK pre-scaled by the local
+    # offset components): world points become 12 tiny MXU matmuls
+    ncp = st["cp_local"].shape[0]
+    pick = np.zeros((ncp, nb))
+    pick[np.arange(ncp), [int(b) for b in st["cp_body"]]] = 1.0
+    cppk = np.concatenate(
+        [pick] + [pick * np.asarray(st["cp_local"])[:, j:j + 1]
+                  for j in range(3)], axis=0)            # (4*ncp, nb)
+    return ndc, masks, bodyc, cpc, treem, cppk
 
 def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
                  interpret=False):
@@ -635,7 +641,7 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         tlim = jnp.concatenate([tlim, one], 0)
     bp = qpos.shape[0]
     ncp = st["cp_local"].shape[0]
-    ndc, masks, bodyc, cpc, treem = _packed_consts(st)
+    ndc, masks, bodyc, cpc, treem, cppk = _packed_consts(st)
 
     col3 = lambda x: x.T[:, None, :]                   # (B,n) -> (n,1,B)
     bs2 = lambda d0: pl.BlockSpec((d0, LANES), lambda i: (0, i))
@@ -650,7 +656,8 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         in_specs=[bs2(nq), bs2(nd), bs2(nu), bs3(nu, 1), bs3(nu, 1),
                   bs3(nu, 1), bsc(nd, 8), bsc(nd, 2 * nd), bsc(st["nb"], 8),
                   bsc(nd, ncp), bsc(ncp, 2),
-                  bsc(nd + 2 * st["nb"], nd + st["nb"])],
+                  bsc(nd + 2 * st["nb"], nd + st["nb"]),
+                  bsc(4 * ncp, st["nb"])],
         out_specs=[bs2(nq), bs2(nd)],
         out_shape=[jax.ShapeDtypeStruct((nq, bp), dtype),
                    jax.ShapeDtypeStruct((nd, bp), dtype)],
@@ -668,7 +675,8 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
     )(qpos.T, qvel.T, ctrl.T, col3(jkp), col3(jkd), col3(tlim),
       jnp.asarray(ndc, dtype), jnp.asarray(masks, dtype),
       jnp.asarray(bodyc, dtype), jnp.asarray(st["pdm"], dtype),
-      jnp.asarray(cpc, dtype), jnp.asarray(treem, dtype))
+      jnp.asarray(cpc, dtype), jnp.asarray(treem, dtype),
+      jnp.asarray(cppk, dtype))
     return out[0].T[:bsz], out[1].T[:bsz]
 
 

@@ -92,10 +92,11 @@ def test_ldl_substep_solve_chain(model):
     params = E.DEFAULT_CONTACT._replace(sparse_ldl=True)
     st = SP._build_static(model, params)
     assert st["sparse_ldl"] and len(st["anc_dofs"]) == 58
-    ndc, masks, bodyc, cpc, treem = SP._packed_consts(st)
+    ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
-                          jnp.asarray(cpc), jnp.asarray(treem))
+                          jnp.asarray(cpc), jnp.asarray(treem),
+                          jnp.asarray(cppk))
     zeros6 = jnp.zeros(6)
     jkd_full = jnp.broadcast_to(
         jnp.concatenate([zeros6, jkd])[:, None], (58, B))
@@ -168,10 +169,11 @@ def test_forward_only_contact_path_matches_full(model):
 
     params = E.DEFAULT_CONTACT._replace(sparse_ldl=True)
     st = SP._build_static(model, params)
-    ndc, masks, bodyc, cpc, treem = SP._packed_consts(st)
+    ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
-                          jnp.asarray(cpc), jnp.asarray(treem))
+                          jnp.asarray(cpc), jnp.asarray(treem),
+                          jnp.asarray(cppk))
     zeros6 = jnp.zeros(6)
     jkd_full = jnp.broadcast_to(
         jnp.concatenate([zeros6, jkd])[:, None], (58, B))
@@ -263,10 +265,11 @@ def test_compressed_prep_matches_dense_mmat(model):
     ctrl = 0.1 * jnp.asarray(rng.randn(B, 52))
 
     st = SP._build_static(model, E.DEFAULT_CONTACT._replace(sparse_ldl=True))
-    ndc, masks, bodyc, cpc, treem = SP._packed_consts(st)
+    ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
-                          jnp.asarray(cpc), jnp.asarray(treem))
+                          jnp.asarray(cpc), jnp.asarray(treem),
+                          jnp.asarray(cppk))
     jkd_full = jnp.broadcast_to(
         jnp.concatenate([jnp.zeros(6), jkd])[:, None], (58, B))
     jkp_full = jnp.broadcast_to(

@@ -51,11 +51,11 @@ def test_lane_prep_matches_engine():
     model, qpos, qvel, ctrl, B = _world()
     jkp, jkd, _tl = _gains()
     st = SP._build_static(model, E.DEFAULT_CONTACT)
-    ndc, masks, bodyc, cpc, treem = SP._packed_consts(st)
+    ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc),
                           jnp.asarray(st["pdm"]), jnp.asarray(cpc),
-                          jnp.asarray(treem))
+                          jnp.asarray(treem), jnp.asarray(cppk))
     zeros6 = jnp.zeros(6)
     jkp_full = jnp.concatenate([zeros6, jkp])[:, None]
     jkd_full = jnp.concatenate([zeros6, jkd])[:, None]
