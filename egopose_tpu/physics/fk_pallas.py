@@ -146,6 +146,134 @@ def _fk_compute(q, topo, dtype):
     return xpos, xquat, com, s
 
 
+def _levels(parent):
+    """Static body groups by tree depth, each sorted by dof count descending
+    (so every dof step within a level operates on a prefix slice)."""
+    nb = len(parent)
+    depth = [0] * nb
+    for b in range(1, nb):
+        depth[b] = depth[parent[b]] + 1
+    groups = {}
+    for b in range(1, nb):
+        groups.setdefault(depth[b], []).append(b)
+    return [groups[d] for d in sorted(groups)]
+
+
+def _const_rows(vals, L, dtype):
+    """(1, len(vals), L) from static python floats (splat + concat)."""
+    return jnp.concatenate(
+        [jnp.full((1, 1, L), float(v), dtype) for v in vals], axis=1)
+
+
+def _fk_compute_lvl(q, topo, dtype):
+    """Level-batched FK, bit-exact vs _fk_compute (same formulas on the
+    same per-element operands, just stored in (rows, m, L) batches).
+
+    _fk_compute walks bodies one at a time: every quaternion op touches
+    1-4 sublane rows of an 8-row vreg, so the traversal pays for ~8x the
+    rows it uses.  Here (a) bodies at the same tree depth advance together
+    -- one (4,m,L) op per level instead of m (4,L) ops -- and (b) the
+    screw-axis rows for ALL joint dofs are built in one (nd-6)-wide
+    batch after the chain (the per-dof pre-rotation quats and world
+    anchors are collected during the walk), which removes the ~52
+    single-row qrot/cross chains that dominate the sequential version."""
+    (parent, body_pos, body_ipos, body_dofs, dof_axis, dof_anchor) = topo
+    L = q.shape[-1]
+    nb = len(parent)
+    nd = len(dof_axis)
+    lv = _levels(parent)
+
+    rq_raw = q[3:7]
+    norm = jnp.sqrt(jnp.sum(rq_raw * rq_raw, axis=0, keepdims=True))
+    root_q = rq_raw / jnp.maximum(norm, 1e-12)
+    root_t = q[0:3]
+
+    zeros1 = jnp.zeros((1, L), dtype)
+    ones1 = jnp.ones((1, L), dtype)
+
+    # root screw rows (identical to _fk_compute)
+    s_rows = {}
+    for i in range(3):
+        e = [zeros1] * 3
+        e[i] = ones1
+        s_rows[i] = jnp.concatenate([zeros1, zeros1, zeros1] + e, axis=0)
+    for i in range(3):
+        e_np = np.zeros(3)
+        e_np[i] = 1.0
+        axis_w = _qrot(root_q, jnp.concatenate(
+            [ones1 * e_np[0], ones1 * e_np[1], ones1 * e_np[2]], axis=0))
+        s_rows[3 + i] = jnp.concatenate(
+            [axis_w, _cross(root_t, axis_w)], axis=0)
+
+    wq = [None] * nb                                    # (4,1,L) per body
+    wt = [None] * nb                                    # (3,1,L) per body
+    wq[0] = root_q[:, None, :]
+    wt[0] = root_t[:, None, :]
+    bq_pre = [None] * nd                                # quat before dof
+    anch_w = [None] * nd                                # world anchor at dof
+
+    for bs in lv:
+        bs = sorted(bs, key=lambda b: -len(body_dofs[b]))
+        m = len(bs)
+        bq = jnp.concatenate([wq[parent[b]] for b in bs], axis=1)  # (4,m,L)
+        pt = jnp.concatenate([wt[parent[b]] for b in bs], axis=1)  # (3,m,L)
+        bp = jnp.concatenate([_const_rows([body_pos[b][i] for b in bs],
+                                          L, dtype) for i in range(3)],
+                             axis=0)                               # (3,m,L)
+        bt = pt + _qrot(bq, bp)
+        for s in range(max(len(body_dofs[b]) for b in bs)):
+            sub = [b for b in bs if len(body_dofs[b]) > s]
+            ms = len(sub)                               # prefix by sorting
+            dofs = [body_dofs[b][s] for b in sub]
+            bq_p, bt_p = bq[:, :ms, :], bt[:, :ms, :]
+            c_vec = jnp.concatenate(
+                [_const_rows([dof_anchor[d][i] for d in dofs], L, dtype)
+                 for i in range(3)], axis=0)            # (3,ms,L)
+            anchor_w = bt_p + _qrot(bq_p, c_vec)
+            for i, d in enumerate(dofs):
+                bq_pre[d] = bq_p[:, i:i + 1, :]
+                anch_w[d] = anchor_w[:, i:i + 1, :]
+            angle = jnp.stack([q[d + 1:d + 2] for d in dofs], axis=1)
+            half = 0.5 * angle                          # (1,ms,L)
+            sn = jnp.sin(half)
+            r = jnp.concatenate(
+                [jnp.cos(half)]
+                + [_const_rows([dof_axis[d][i] for d in dofs], L, dtype)
+                   * sn for i in range(3)], axis=0)     # (4,ms,L)
+            bq_new = _qmul(bq_p, r)
+            bt_new = anchor_w - _qrot(bq_new, c_vec)
+            bq = jnp.concatenate([bq_new, bq[:, ms:, :]], axis=1)
+            bt = jnp.concatenate([bt_new, bt[:, ms:, :]], axis=1)
+        for i, b in enumerate(bs):
+            wq[b] = bq[:, i:i + 1, :]
+            wt[b] = bt[:, i:i + 1, :]
+
+    xpos = jnp.stack([wt[b][:, 0, :] for b in range(nb)], axis=0)
+    xquat = jnp.stack([wq[b][:, 0, :] for b in range(nb)], axis=0)
+
+    # com for all bodies in one batched rotate
+    wq_all = jnp.concatenate(wq, axis=1)                # (4,nb,L)
+    wt_all = jnp.concatenate(wt, axis=1)                # (3,nb,L)
+    ip = jnp.concatenate([_const_rows([body_ipos[b, i] for b in range(nb)],
+                                      L, dtype) for i in range(3)], axis=0)
+    com_b = wt_all + _qrot(wq_all, ip)                  # (3,nb,L)
+    com = jnp.stack([com_b[:, b, :] for b in range(nb)], axis=0)
+
+    # screw rows for all joint dofs in one batched rotate/cross
+    jd = list(range(6, nd))
+    bq_stack = jnp.concatenate([bq_pre[d] for d in jd], axis=1)
+    an_stack = jnp.concatenate([anch_w[d] for d in jd], axis=1)
+    ax = jnp.concatenate([_const_rows([dof_axis[d][i] for d in jd],
+                                      L, dtype) for i in range(3)], axis=0)
+    axis_w = _qrot(bq_stack, ax)                        # (3,nd-6,L)
+    lin_w = _cross(an_stack, axis_w)
+    for i, d in enumerate(jd):
+        s_rows[d] = jnp.concatenate(
+            [axis_w[:, i, :], lin_w[:, i, :]], axis=0)
+    s = jnp.stack([s_rows[d] for d in range(nd)], axis=0)
+    return xpos, xquat, com, s
+
+
 def _build_topo(m):
     """Static topology tuple (numpy/python only, hashable by id)."""
     nb, nd = m.nbody, m.ndof

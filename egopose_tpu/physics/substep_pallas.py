@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fk_pallas import _build_topo, _fk_compute
+from .fk_pallas import _build_topo, _fk_compute_lvl
 from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_fsolve,
                          ldl_solve, ldl_tsolve)
 from .linalg_pallas import (LANES, _contact_sweep, _contact_sweep_sym,
@@ -289,8 +289,9 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=dtype)
 
-    # ---- FK (fk_pallas lane-major composition, bit-exact vs engine.fk) --
-    xpos, xquat, com, s = _fk_compute(q, st["topo"], dtype)
+    # ---- FK (fk_pallas level-batched composition, bit-exact vs both
+    # engine.fk and the sequential _fk_compute) -------------------------
+    xpos, xquat, com, s = _fk_compute_lvl(q, st["topo"], dtype)
     s_ang, s_lin = s[:, :3, :], s[:, 3:, :]
 
     # ---- CRBA (engine.crba) ---------------------------------------------

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 
 from egopose_tpu.physics import parse_mjcf, build_model
 from egopose_tpu.physics import engine as E
-from egopose_tpu.physics.fk_pallas import _build_topo, _fk_compute
+from egopose_tpu.physics.fk_pallas import (_build_topo, _fk_compute,
+                                           _fk_compute_lvl)
 
 
 def test_fk_compute_matches_engine_fk():
@@ -32,3 +33,9 @@ def test_fk_compute_matches_engine_fk():
                      (com, want.com), (s, want.s)):
         np.testing.assert_allclose(np.asarray(got.transpose(2, 0, 1)),
                                    np.asarray(ref), atol=1e-12)
+
+    # the level-batched traversal (the substep kernel's FK) is BITWISE the
+    # sequential one: same formulas on the same per-element operands
+    lvl = _fk_compute_lvl(qpos.T, topo, qpos.dtype)
+    for got, ref in zip(lvl, (xpos, xquat, com, s)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
