@@ -56,7 +56,8 @@ resident = E.DEFAULT_CONTACT._replace(
     sparse_ldl=os.environ.get("SPARSE_LDL", "1") == "1")
 
 _NAMES = {"prep": "_lane_prep", "lfac": "ldl_factor", "lsol": "ldl_solve",
-          "sweep": "_contact_sweep"}
+          "ltsol": "ldl_tsolve", "lfsol": "ldl_fsolve",
+          "sweep": "_contact_sweep", "sweep_sym": "_contact_sweep_sym"}
 _orig = {k: getattr(SP, v) for k, v in _NAMES.items()}
 
 
@@ -115,13 +116,22 @@ def _stub_ldl_factor(mrows, dvals, anc):
     return [1.0 / jnp.maximum(d, 1e-12) for d in dvals]
 
 
+def _stub_sweep_sym(jf, tgt, mu, x_s, ac_s, v_pred, invd, n, c, *a, **kw):
+    return jnp.zeros((c, 1, v_pred.shape[-1]), v_pred.dtype) \
+        + v_pred[:c] * 1e-6
+
+
 full = run("full")
 no_sweep = run("no_sweep",
-               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a, **kw: v_pred)
+               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a, **kw: v_pred,
+               sweep_sym=_stub_sweep_sym)
 no_solve = run("no_solve",
                sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a, **kw: v_pred,
+               sweep_sym=_stub_sweep_sym,
                lfac=_stub_ldl_factor,
-               lsol=lambda mrows, invd, anc, xv: None)
+               lsol=lambda mrows, invd, anc, xv: None,
+               ltsol=lambda mrows, anc, xv: None,
+               lfsol=lambda mrows, invd, anc, xv: None)
 # no_prep (_stub_prep) crashes Mosaic: rank-1 -> rank-3 broadcasts inside
 # the kernel hit "Check failed: limits[i] <= dim(i)".  The residual
 # (no_solve) already bounds prep+limits+integration, so we skip it.
@@ -150,10 +160,10 @@ def _stub_fk(q, topo, dtype):
     return xpos, xquat, com, s
 
 
-_orig_fk = SP._fk_compute
+_orig_fk = SP._fk_compute_lvl
 try:
-    SP._fk_compute = _stub_fk
+    SP._fk_compute_lvl = _stub_fk
     no_fk = run("no_fk")
 finally:
-    SP._fk_compute = _orig_fk
+    SP._fk_compute_lvl = _orig_fk
 print(json.dumps({"fk_ms": round(full - no_fk, 2)}))
