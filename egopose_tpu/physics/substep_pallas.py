@@ -662,14 +662,20 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         out_specs=[bs2(nq), bs2(nd)],
         out_shape=[jax.ShapeDtypeStruct((nq, bp), dtype),
                    jax.ShapeDtypeStruct((nd, bp), dtype)],
-        scratch_shapes=[pltpu.VMEM((nd, nd, LANES), dtype),
-                        pltpu.VMEM((nd, nd, LANES), dtype),
-                        pltpu.VMEM((nd, c3, LANES), dtype),
-                        pltpu.VMEM((c3, c3, LANES), dtype),
-                        pltpu.VMEM((nd, 1, LANES), dtype),
-                        pltpu.VMEM((c3, nd, LANES), dtype),
-                        pltpu.VMEM((c3, 1, LANES), dtype),
-                        pltpu.VMEM((k, 1, LANES), dtype)],
+        scratch_shapes=[
+            # dense-branch factor/substitution scratches are untouched in
+            # sparse mode -- shrink them to a token row to free ~5 MB VMEM
+            pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
+                       else (nd, nd, LANES), dtype),
+            pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
+                       else (nd, nd, LANES), dtype),
+            pltpu.VMEM((nd, c3, LANES), dtype),
+            pltpu.VMEM((c3, c3, LANES), dtype),
+            pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
+                       else (nd, 1, LANES), dtype),
+            pltpu.VMEM((c3, nd, LANES), dtype),
+            pltpu.VMEM((c3, 1, LANES), dtype),
+            pltpu.VMEM((k, 1, LANES), dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
