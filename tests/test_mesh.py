@@ -144,7 +144,8 @@ def test_statereg_train_8way_matches_single_device(tmp_path):
             % (args + ["--dp-devices", str(n_dev)],))
         proc = subprocess.run([sys.executable, "-c", driver], cwd=str(d),
                               env=env, capture_output=True, text=True,
-                              timeout=1500)
+                              timeout=2700)  # ~370 s nominal for both runs;
+        # wide margin because the 1-core host may be contended
         assert proc.returncode == 0, (proc.stdout[-2000:],
                                       proc.stderr[-2000:])
         log = open(d / "results/statereg/tiny_dp/log/log.txt").read()
