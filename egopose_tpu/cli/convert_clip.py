@@ -61,10 +61,8 @@ def main(argv=None):
     from ..mocap import Skeleton, load_bvh_file, interpolated_traj
     from ..physics import parse_mjcf
 
-    model_file = "assets/mujoco_models/%s.xml" % args.model_id
-    if not os.path.exists(model_file):
-        model_file = os.path.join("/root/reference", model_file)
-    spec = parse_mjcf(model_file)
+    from ..utils.assets import find_model_xml
+    spec = parse_mjcf(find_model_xml(args.model_id))
     body_qposaddr = spec.body_qposaddr()
 
     skt_bvh = os.path.expanduser(

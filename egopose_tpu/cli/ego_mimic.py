@@ -37,9 +37,8 @@ def build_world(cfg, dtype, synthetic=False, synthetic_takes=None,
     from .. import envs
     from ..utils.config import make_env_params
 
-    xml = model_xml or f"assets/mujoco_models/{cfg.mujoco_model}.xml"
-    if not os.path.exists(xml):
-        xml = os.path.join("/root/reference", xml)
+    from ..utils.assets import find_model_xml
+    xml = find_model_xml(model_xml or cfg.mujoco_model)
     spec = parse_mjcf(xml)
     model = build_model(spec, dtype=dtype)
     tables = envs.make_body_tables(spec)

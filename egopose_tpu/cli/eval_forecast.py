@@ -94,9 +94,9 @@ def main(argv=None):
                    for take in results["traj_pred"]})]
         try:
             from ..envs.visual import TrajectoryViewer
+            from ..utils.assets import find_model_xml
             TrajectoryViewer(
-                "assets/mujoco_models/humanoid_1205_vis_double_v1.xml",
-                algos).run()
+                find_model_xml("humanoid_1205_vis_double_v1"), algos).run()
         except Exception as e:
             print("no display (%s) -- writing video instead" % e)
             from ..utils.render import render_qpos_video

@@ -26,10 +26,8 @@ def main(argv=None):
     from ..utils.pose2d import Pose2DContext
 
     cfg = EgoForecastConfig(args.egoforecast_cfg, create_dirs=False)
-    xml = "assets/mujoco_models/%s.xml" % cfg.mujoco_model
-    if not os.path.exists(xml):
-        xml = "/root/reference/" + xml
-    spec = parse_mjcf(xml)
+    from ..utils.assets import find_model_xml
+    spec = parse_mjcf(find_model_xml(cfg.mujoco_model))
     model = build_model(spec, dtype=jnp.float32)
     pose_ctx = Pose2DContext(model, spec)
     wild_meta = yaml.safe_load(open(args.meta_file)) \

@@ -103,7 +103,8 @@ def main(argv=None):
         if other_path:
             other, _ = pickle.load(open(other_path, "rb"))
             algos.append(("state reg", to_viewer(other)))
-        xml = "assets/mujoco_models/%s.xml" % (
+        from ..utils.assets import find_model_xml
+        xml = find_model_xml(
             args.multi_vis_model if args.multi else args.vis_model)
         try:
             from ..envs.visual import TrajectoryViewer

@@ -71,11 +71,8 @@ def main(argv=None):
     from ..utils.pose2d import Pose2DContext
 
     cfg = EgoMimicConfig(args.egomimic_cfg, create_dirs=False)
-    spec = parse_mjcf("assets/mujoco_models/%s.xml" % cfg.mujoco_model
-                      if os.path.exists("assets/mujoco_models/%s.xml"
-                                        % cfg.mujoco_model)
-                      else "/root/reference/assets/mujoco_models/%s.xml"
-                      % cfg.mujoco_model)
+    from ..utils.assets import find_model_xml
+    spec = parse_mjcf(find_model_xml(cfg.mujoco_model))
     model = build_model(spec, dtype=jnp.float32)
     pose_ctx = Pose2DContext(model, spec)
 

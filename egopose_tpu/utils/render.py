@@ -24,10 +24,8 @@ def render_qpos_video(trajs, out_path, fps=30, res=(640, 480),
     try:
         import mujoco
         from ..physics import parse_mjcf, export_mjcf
-        here = os.path.join(os.path.dirname(__file__), "..", "..")
-        xml = model_xml or os.path.join(
-            here, "assets/mujoco_models/humanoid_1205_v1.xml")
-        spec = parse_mjcf(xml)
+        from .assets import find_model_xml
+        spec = parse_mjcf(find_model_xml(model_xml or "humanoid_1205_v1"))
         model = mujoco.MjModel.from_xml_string(export_mjcf(spec))
         data = mujoco.MjData(model)
         renderer = mujoco.Renderer(model, height=res[1], width=res[0])

@@ -26,7 +26,8 @@ def view_or_render_windows(results, res_path, logger, vis_model=None):
     if not algos[0][1]:
         logger.info("no windows to visualize")
         return None
-    xml = vis_model or "assets/mujoco_models/humanoid_1205_vis_double_v1.xml"
+    from .assets import find_model_xml
+    xml = find_model_xml(vis_model or "humanoid_1205_vis_double_v1")
     try:
         from ..envs.visual import TrajectoryViewer
         TrajectoryViewer(xml, algos).run()
@@ -88,10 +89,8 @@ def wild_fpv_tpv_video(traj_pred, take, pose_ctx, cfg, wild_meta, out_path,
     try:
         import mujoco
         from ..physics import export_mjcf, parse_mjcf
-        xml = "assets/mujoco_models/%s.xml" % cfg.mujoco_model
-        if not os.path.exists(xml):
-            xml = "/root/reference/" + xml
-        spec = parse_mjcf(xml)
+        from .assets import find_model_xml
+        spec = parse_mjcf(find_model_xml(cfg.mujoco_model))
         model = mujoco.MjModel.from_xml_string(export_mjcf(spec))
         data = mujoco.MjData(model)
         renderer = mujoco.Renderer(model, height=360, width=360)

@@ -43,3 +43,19 @@ def test_env_params_from_config():
     np.testing.assert_allclose(np.asarray(p.jkp[:3]), 500.0)  # 1000 * 0.5
     np.testing.assert_allclose(np.asarray(p.a_ref[24]), np.deg2rad(45.0))
     np.testing.assert_allclose(np.asarray(p.w), [0.5, 0.0, 0.3, 0.1, 0.1])
+
+
+def test_find_model_xml_cwd_independent(tmp_path, monkeypatch):
+    """Model assets resolve from any working directory, never from outside
+    the repo, and a missing model is a clear error (not a silent fallback)."""
+    import os
+    from egopose_tpu.utils.assets import find_model_xml
+    here = find_model_xml("humanoid_1205_v1")
+    assert here.endswith("humanoid_1205_v1.xml") and os.path.exists(here)
+    monkeypatch.chdir(tmp_path)
+    away = find_model_xml("humanoid_1205_v1")
+    assert os.path.exists(away)
+    assert os.path.samefile(here if os.path.isabs(here)
+                            else os.path.join("/root/repo", here), away)
+    with pytest.raises(FileNotFoundError):
+        find_model_xml("no_such_model_xyz")

@@ -142,10 +142,17 @@ def test_statereg_train_8way_matches_single_device(tmp_path):
             "v, ds = main(%r); "
             "pickle.dump(jax.device_get(v), open('vars.pkl', 'wb'))"
             % (args + ["--dp-devices", str(n_dev)],))
-        proc = subprocess.run([sys.executable, "-c", driver], cwd=str(d),
-                              env=env, capture_output=True, text=True,
-                              timeout=2700)  # ~370 s nominal for both runs;
-        # wide margin because the 1-core host may be contended
+        for attempt in range(2):
+            proc = subprocess.run([sys.executable, "-c", driver], cwd=str(d),
+                                  env=env, capture_output=True, text=True,
+                                  timeout=2700)  # ~370 s nominal for both;
+            # wide margin because the 1-core host may be contended
+            if proc.returncode >= 0 or attempt:
+                break
+            # negative rc = killed by signal: XLA:CPU's cross-replica
+            # rendezvous watchdog SIGABRTs when another process hogs the
+            # single core mid-collective (observed with a concurrent jax
+            # import).  That is a host artifact, not a DP bug -- retry once.
         assert proc.returncode == 0, (proc.stdout[-2000:],
                                       proc.stderr[-2000:])
         log = open(d / "results/statereg/tiny_dp/log/log.txt").read()
