@@ -52,6 +52,10 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true", default=False,
                         help="evaluate in float64 (validation parity runs, "
                              "SURVEY 7.4.4); default f32")
+    parser.add_argument("--sp-devices", type=int, default=None,
+                        help="shard the video-context encode along TIME over "
+                             "an N-device mesh (sequence parallelism; TCN "
+                             "context nets only -- parallel/seqpar.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -147,7 +151,22 @@ def main(argv=None):
     # --causal limits the context to fr_margin frames of lookahead per step
     # (online inference, ego_mimic_eval.py:143-145)
     feats = jnp.asarray(cnn_feat, dtype)
-    if args.causal:
+    if args.sp_devices is not None:
+        # sequence-parallel context encode: time sharded over the mesh with
+        # halo exchange, numerically equal to the single-device pass
+        # (parallel/seqpar.py; TCN only -- a causal TCN's causal_encode IS
+        # its full pass, so --causal composes transparently)
+        from ..parallel.mesh import make_mesh
+        from ..parallel.seqpar import vsnet_encode_sp
+        if args.causal and not agent.policy_vs_net.causal:
+            raise SystemExit("--sp-devices with --causal requires a "
+                             "causal context net (causal: true)")
+        sp_mesh = make_mesh(args.sp_devices)
+        v_out_p = vsnet_encode_sp(sp_mesh, agent.policy_vs_net,
+                                  agent.train_state.policy_vs, feats)
+        v_out_v = vsnet_encode_sp(sp_mesh, agent.value_vs_net,
+                                  agent.train_state.value_vs, feats)
+    elif args.causal:
         v_out_p = agent.policy_vs_net.apply(
             agent.train_state.policy_vs, feats,
             method=agent.policy_vs_net.causal_encode)

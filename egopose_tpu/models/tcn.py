@@ -21,7 +21,7 @@ class TemporalBlock(nn.Module):
     causal: bool
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, t_mask=None):
         pad = (self.kernel_size - 1) * self.dilation
         padding = [(pad, 0)] if self.causal else [(pad // 2, pad // 2)]
         conv_init = nn.initializers.normal(0.01)  # tcn.py:42-46
@@ -32,7 +32,13 @@ class TemporalBlock(nn.Module):
                 kernel_dilation=(self.dilation,), padding=padding,
                 kernel_init=conv_init, name=name))
 
-        out = nn.relu(conv("conv1")(x))
+        # t_mask (T,) zeroes positions outside the true sequence, restoring
+        # the per-layer zero-padding semantics when the block runs on a
+        # time-shard with fake edge frames (parallel/seqpar.py): each conv's
+        # neighbourhood reads must see zeros there, exactly like padding
+        msk = ((lambda v: v * t_mask[None, :, None])
+               if t_mask is not None else (lambda v: v))
+        out = msk(nn.relu(conv("conv1")(x)))
         if self.dropout > 0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.relu(conv("conv2")(out))
@@ -43,7 +49,7 @@ class TemporalBlock(nn.Module):
                           name="downsample")(x)
         else:
             res = x
-        return nn.relu(out + res)
+        return msk(nn.relu(out + res))
 
 
 class TemporalConvNet(nn.Module):
@@ -54,9 +60,12 @@ class TemporalConvNet(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, t_mask=None):
         assert self.kernel_size % 2 == 1
+        if t_mask is not None:
+            x = x * t_mask[None, :, None]
         for i, ch in enumerate(self.num_channels):
             x = TemporalBlock(ch, self.kernel_size, 2 ** i, self.dropout,
-                              self.causal, name=f"block{i}")(x, deterministic)
+                              self.causal, name=f"block{i}")(x, deterministic,
+                                                             t_mask)
         return x

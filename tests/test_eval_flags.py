@@ -84,3 +84,50 @@ def test_eval_flags_causal_sync_naivefs(tmp_path, monkeypatch):
     res64, _ = ego_mimic_eval.main(base + ["--f64"])
     assert res64["traj_pred"][take].dtype == np.float64
     assert np.isfinite(res64["traj_pred"][take]).all()
+
+
+@pytest.mark.slow
+def test_eval_sp_devices_matches_single_device(tmp_path, monkeypatch):
+    """--sp-devices: the time-sharded TCN context encode must leave the eval
+    rollout numerically unchanged (parallel/seqpar.py), and reject LSTM
+    context nets with a clear error."""
+    em = yaml.safe_load(open(f"{REPO}/config/egomimic/subject_03.yml"))
+    em.update(dict(fr_margin=4, env_episode_len=8, seed=7,
+                   policy_v_net="tcn",
+                   policy_v_net_param={"size": [32, 128], "dropout": 0.0},
+                   value_v_net="tcn",
+                   value_v_net_param={"size": [32, 128], "dropout": 0.0}))
+    em.pop("meta_id", None)
+    em.pop("state_net_cfg", None)
+    em.pop("state_net_iter", None)
+    (tmp_path / "config/egomimic").mkdir(parents=True)
+    yaml.dump(em, open(tmp_path / "config/egomimic/tiny_sp.yml", "w"))
+    os.symlink(f"{REPO}/assets", tmp_path / "assets")
+    monkeypatch.chdir(tmp_path)
+
+    import egopose_tpu.cli.ego_mimic as em_mod
+    orig_build = em_mod.build_world
+    monkeypatch.setattr(
+        em_mod, "build_world",
+        lambda cfg, dtype, synthetic=False, **kw: orig_build(
+            cfg, dtype, synthetic=synthetic, synthetic_takes=2,
+            synthetic_len=40))
+
+    from egopose_tpu.cli import ego_mimic_eval
+
+    # f64 so the sharded-vs-unsharded encode identity is exact and the
+    # chaotic PD rollout cannot amplify representation noise
+    base = ["--cfg", "tiny_sp", "--iter", "0", "--synthetic", "--f64"]
+    res_ref, _ = ego_mimic_eval.main(base)
+    res_sp, _ = ego_mimic_eval.main(base + ["--sp-devices", "4"])
+    for take in res_ref["traj_pred"]:
+        np.testing.assert_allclose(res_sp["traj_pred"][take],
+                                   res_ref["traj_pred"][take], atol=1e-9)
+
+    # LSTM context nets are sequential in time: clear rejection
+    em_lstm = dict(em, policy_v_net="lstm", value_v_net="lstm")
+    em_lstm.pop("policy_v_net_param"), em_lstm.pop("value_v_net_param")
+    yaml.dump(em_lstm, open(tmp_path / "config/egomimic/tiny_splstm.yml", "w"))
+    with pytest.raises(ValueError, match="TCN"):
+        ego_mimic_eval.main(["--cfg", "tiny_splstm", "--iter", "0",
+                             "--synthetic", "--sp-devices", "2"])
