@@ -55,7 +55,9 @@ def main(argv=None):
     parser.add_argument("--sp-devices", type=int, default=None,
                         help="shard the video-context encode along TIME over "
                              "an N-device mesh (sequence parallelism; TCN "
-                             "context nets only -- parallel/seqpar.py)")
+                             "context nets only -- parallel/seqpar.py); also "
+                             "time-shards the statereg prediction forward "
+                             "when its temporal net is a TCN")
     args = parser.parse_args(argv)
 
     import jax
@@ -136,7 +138,16 @@ def main(argv=None):
 
     if state_net is not None:
         feats = jnp.asarray(cnn_feat, dtype).transpose(1, 0, 2)  # (T,B,F)
-        pred = np.asarray(state_net.apply(state_vars, feats, train=False))
+        if args.sp_devices is not None and state_net.v_net_type == "tcn":
+            # time-shard the kinematic-prediction forward too (the TCN is
+            # the only non-per-frame stage; parallel/seqpar.py)
+            from ..parallel.mesh import make_mesh as _mk
+            from ..parallel.seqpar import vregnet_apply_sp
+            pred = np.asarray(vregnet_apply_sp(
+                _mk(args.sp_devices), state_net, state_vars, feats))
+        else:
+            pred = np.asarray(state_net.apply(state_vars, feats,
+                                              train=False))
         pred = pred.transpose(1, 0, 2) * sr_std[None, None] \
             + sr_mean[None, None]
         # align to expert frame indexing (full-take prediction)

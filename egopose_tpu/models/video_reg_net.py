@@ -49,19 +49,21 @@ class VideoRegNet(nn.Module):
         self.mlp = MLP(tuple(self.mlp_dim), "relu")
         self.linear = nn.Dense(self.out_dim)
 
-    def _temporal(self, feats, train):
-        # feats: (T, B, cnn_fdim)
+    def _temporal(self, feats, train, t_mask=None):
+        # feats: (T, B, cnn_fdim); t_mask (T,) flags true-sequence positions
+        # when running on a time-shard (parallel/seqpar.py)
         if self.v_net_type == "lstm":
             return self.v_net(feats)
         return self.v_net(feats.transpose(1, 0, 2),
-                          deterministic=not train).transpose(1, 0, 2)
+                          deterministic=not train,
+                          t_mask=t_mask).transpose(1, 0, 2)
 
     def cnn_feature(self, frames, train: bool = False):
         """(N, H, W, C) frames -> (N, cnn_fdim) features
         (VideoRegNet.get_cnn_feature, video_reg_net.py:58-59)."""
         return self.cnn(frames, train)
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, t_mask=None):
         """x: (T, B, H, W, C) frames, or (T, B, cnn_fdim) when no_cnn.
         Returns (T, B, out_dim)."""
         if self.cnn is not None:
@@ -70,6 +72,6 @@ class VideoRegNet(nn.Module):
                              train).reshape(t, b, self.cnn_fdim)
         else:
             feats = x
-        h = self._temporal(feats, train)
+        h = self._temporal(feats, train, t_mask)
         h = self.mlp(h)
         return self.linear(h)

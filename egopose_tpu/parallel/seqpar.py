@@ -126,3 +126,25 @@ def vsnet_encode_sp(mesh: Mesh, vs_net, params, windows, axis: str = "data"):
 
     out = encode_time_sharded(mesh, raw, windows, halo_l, halo_r, axis=axis)
     return out[:, vs_net.v_margin:-vs_net.v_margin]
+
+
+def vregnet_apply_sp(mesh: Mesh, reg_net, params, x, train: bool = False,
+                     axis: str = "data"):
+    """VideoRegNet forward, time-sharded: (T, B, ...) frames/features ->
+    (T, B, out_dim), equal to ``reg_net.apply(params, x, train)``.  The CNN,
+    MLP, and output head are per-frame (receptive field 0); only the TCN
+    temporal net needs the halo, so the whole model is position-local."""
+    if reg_net.v_net_type != "tcn":
+        raise ValueError(
+            "sequence-parallel statereg forward requires a TCN temporal net "
+            f"(got {reg_net.v_net_type!r}: recurrent nets are sequential in "
+            "time)")
+    param = reg_net.v_net_param or {}
+    halo_l, halo_r = tcn_halo(param.get("size", [64, reg_net.v_hdim]),
+                              param.get("kernel_size", 3), reg_net.causal)
+
+    def raw(w, t_mask):
+        return reg_net.apply(params, w, train, t_mask)
+
+    return encode_time_sharded(mesh, raw, x, halo_l, halo_r, axis=axis,
+                               time_axis=0)

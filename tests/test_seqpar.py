@@ -57,6 +57,33 @@ def test_vsnet_encode_sp_matches_apply():
                                rtol=0, atol=1e-12)
 
 
+def test_vregnet_apply_sp_matches_apply():
+    from egopose_tpu.models.video_reg_net import VideoRegNet
+    from egopose_tpu.parallel.seqpar import vregnet_apply_sp
+    net = VideoRegNet(out_dim=12, v_hdim=24, cnn_fdim=8, no_cnn=True,
+                      mlp_dim=(16,), v_net_type="tcn",
+                      v_net_param={"size": [16, 24], "dropout": 0.0})
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(163, 2, 8), jnp.float64)   # (T, B, F)
+    params = net.init(jax.random.PRNGKey(2), x)
+    ref = net.apply(params, x)
+    out = vregnet_apply_sp(make_mesh(8), net, params, x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-12)
+
+
+def test_vregnet_apply_sp_rejects_lstm():
+    from egopose_tpu.models.video_reg_net import VideoRegNet
+    from egopose_tpu.parallel.seqpar import vregnet_apply_sp
+    net = VideoRegNet(out_dim=4, v_hdim=16, cnn_fdim=8, no_cnn=True,
+                      v_net_type="lstm")
+    x = jnp.zeros((24, 1, 8))
+    params = net.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="TCN"):
+        vregnet_apply_sp(make_mesh(8), net, params, x)
+
+
 def test_vsnet_encode_sp_rejects_lstm():
     vs = VideoStateNet(cnn_feat_dim=8, v_hdim=16, v_margin=2,
                        v_net_type="lstm")
