@@ -139,7 +139,30 @@ def measure_tpu():
         float(np.median(train_samples)), train_samples, fallback
 
 
+def probe_device(timeout_s: float) -> None:
+    """Fail fast if the accelerator is unreachable.  The tunneled-TPU plugin
+    blocks indefinitely inside jax init while the tunnel is down (observed:
+    multi-hour outages); a bounded subprocess probe turns that into a clear
+    error instead of hanging the whole benchmark window."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.numpy.zeros(8).block_until_ready(); "
+             "print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: device probe timed out after {timeout_s:.0f}s "
+              "(accelerator tunnel down?)", file=sys.stderr)
+        raise SystemExit(2)
+    if r.returncode != 0:
+        print(f"bench: device probe failed rc={r.returncode}: "
+              f"{r.stderr[-500:]}", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
+    probe_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600")))
     tpu, samples, train, train_samples, fallback = measure_tpu()
     base = get_baseline()
     out = {
