@@ -94,6 +94,10 @@ def main(argv=None):
                         help="data-parallel device count: shard rollout lanes "
                              "and update batches over an N-device mesh "
                              "(params replicated; errors if fewer devices)")
+    parser.add_argument("--sp-devices", type=int, default=None,
+                        help="sequence-parallel device count: additionally "
+                             "shard the TCN video-context encode along TIME "
+                             "(dp x sp 2-D mesh; TCN context nets only)")
     parser.add_argument("--max-iter", type=int, default=None)
     parser.add_argument("--synthetic", action="store_true", default=False)
     parser.add_argument("--f64", action="store_true", default=False)
@@ -138,7 +142,12 @@ def main(argv=None):
                 f"experts: {expert.qpos.shape}")
 
     mesh = None
-    if args.dp_devices is not None:
+    if args.sp_devices is not None:
+        from ..parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(args.dp_devices or 1, args.sp_devices)
+        logger.info(f"2-D mesh: {args.dp_devices or 1} data-parallel x "
+                    f"{args.sp_devices} sequence-parallel devices")
+    elif args.dp_devices is not None:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(args.dp_devices)
         logger.info(f"data-parallel mesh over {args.dp_devices} devices")

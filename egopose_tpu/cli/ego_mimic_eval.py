@@ -52,6 +52,9 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true", default=False,
                         help="evaluate in float64 (validation parity runs, "
                              "SURVEY 7.4.4); default f32")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of the eval scan "
+                             "execution (post-compile)")
     parser.add_argument("--sp-devices", type=int, default=None,
                         help="shard the video-context encode along TIME over "
                              "an N-device mesh (sequence parallelism; TCN "
@@ -300,10 +303,15 @@ def main(argv=None):
     t0 = _time.time()
     compiled = eval_fn.lower(carry0).compile()
     t_compile = _time.time() - t0
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = _time.time()
     (stf, _, _, n_reset, _), (qpos_traj, qvel_traj, rewards, epos_sync_traj) \
         = jax.block_until_ready(compiled(carry0))
     wall = _time.time() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        logger.info("wrote profiler trace to %s" % args.profile_dir)
     n_frames = int(test_lens.sum())
     logger.info("eval rollout: %d frames over %d takes -- compile %.2fs "
                 "(cached across runs), execute %.2fs = %.0f frames/s "

@@ -75,6 +75,9 @@ def main(argv=None):
                              "batch axis of every training step over an "
                              "N-device mesh (params replicated; SURVEY 2.3 "
                              "statereg DP)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of one post-compile "
+                             "training epoch")
     parser.add_argument("--transfer-dtype", default="f32",
                         choices=("f16", "f32"),
                         help="dtype for the optical-flow host->device "
@@ -262,6 +265,11 @@ def main(argv=None):
         max_epoch = args.max_epoch or cfg.num_epoch
         step = 0
         for i_epoch in range(args.iter, max_epoch):
+            # second epoch = first past the compile wall (tracing epoch 0
+            # would record compilation, not the steady-state pipeline)
+            profiling = args.profile_dir and i_epoch == args.iter + 1
+            if profiling:
+                jax.profiler.start_trace(args.profile_dir)
             t0 = time.time()
             n_sample, losses, counts = 0, [], []
             for of, gt, mask, num in device_batches():
@@ -274,6 +282,9 @@ def main(argv=None):
             ep_loss = float(sum(float(l) * c for l, c in
                                 zip(losses, counts)) / max(n_sample, 1))
             dt_ep = time.time() - t0
+            if profiling:
+                jax.profiler.stop_trace()
+                logger.info("wrote profiler trace to %s" % args.profile_dir)
             logger.info("epoch {:4d}    time {:.2f}     nsample {}   "
                         "loss {:.4f}   frames/s {:.1f}"
                         .format(i_epoch, dt_ep, n_sample, ep_loss,

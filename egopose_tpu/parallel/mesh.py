@@ -29,6 +29,19 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(dp: int, sp: int, axes: tuple = ("data", "time")) -> Mesh:
+    """Build a (dp x sp) 2-D mesh: rollout lanes / update batches shard over
+    ``axes[0]``, the sequence-parallel context encode over ``axes[1]``
+    (parallel/seqpar.py).  Same hard device-count guard as make_mesh."""
+    devs = jax.devices()
+    need = dp * sp
+    if len(devs) < need:
+        raise RuntimeError(
+            f"make_mesh_2d({dp},{sp}): only {len(devs)} device(s) visible "
+            f"({[d.platform for d in devs]}); need {need}")
+    return Mesh(np.array(devs[:need]).reshape(dp, sp), axes)
+
+
 def shard_batch(mesh: Mesh, tree, axis_index: int = 0, axis: str = "data"):
     """Shard every leaf of a lane-batched pytree along its batch axis."""
     def put(x):

@@ -44,7 +44,7 @@ def tcn_halo(num_channels, kernel_size: int, causal: bool) -> tuple[int, int]:
 
 def encode_time_sharded(mesh: Mesh, apply_fn, x, halo_left: int,
                         halo_right: int, axis: str = "data",
-                        time_axis: int = 1):
+                        time_axis: int = 1, batch_axes: dict | None = None):
     """Run a position-local sequence net time-sharded across ``mesh``.
 
     ``apply_fn(w, t_mask)`` maps an array with time on ``time_axis`` to an
@@ -58,6 +58,11 @@ def encode_time_sharded(mesh: Mesh, apply_fn, x, halo_left: int,
     divisibility tail) would otherwise accumulate nonzero activations where
     the unsharded pass reads per-layer padding zeros.  Returns the
     full-length output, numerically equal to ``apply_fn(x, None)``.
+
+    ``batch_axes`` optionally maps additional array dims to mesh axes (e.g.
+    ``{0: "data"}`` for lanes already sharded data-parallel), composing SP
+    with DP on a 2-D mesh: the halo ppermute rides the ``axis`` submesh
+    only, independently per data-parallel slice.
     """
     n = int(mesh.shape[axis])
     if n == 1:
@@ -98,6 +103,8 @@ def encode_time_sharded(mesh: Mesh, apply_fn, x, halo_left: int,
 
     spec = [None] * x.ndim
     spec[time_axis] = axis
+    for d, ax in (batch_axes or {}).items():
+        spec[d] = ax
     pspec = P(*spec)
     out = shard_map(local, mesh=mesh, in_specs=pspec, out_specs=pspec)(x)
     if pad:
@@ -105,10 +112,13 @@ def encode_time_sharded(mesh: Mesh, apply_fn, x, halo_left: int,
     return out
 
 
-def vsnet_encode_sp(mesh: Mesh, vs_net, params, windows, axis: str = "data"):
+def vsnet_encode_sp(mesh: Mesh, vs_net, params, windows, axis: str = "data",
+                    batch_axis: str | None = None):
     """VideoStateNet context pass, time-sharded: (N, W, feat) windows ->
     (N, W - 2*v_margin, v_hdim), equal to ``vs_net.apply(params, windows)``.
-    Only TCN context nets are position-local; LSTM is rejected."""
+    Only TCN context nets are position-local; LSTM is rejected.
+    ``batch_axis`` additionally shards the lane dim N (DP x SP on a 2-D
+    mesh)."""
     if vs_net.v_net_type != "tcn":
         raise ValueError(
             "sequence-parallel context encoding requires a TCN context net "
@@ -124,7 +134,9 @@ def vsnet_encode_sp(mesh: Mesh, vs_net, params, windows, axis: str = "data"):
         return vs_net.apply(params, w,
                             method=lambda m, ww: m.v_net(ww, True, t_mask))
 
-    out = encode_time_sharded(mesh, raw, windows, halo_l, halo_r, axis=axis)
+    out = encode_time_sharded(
+        mesh, raw, windows, halo_l, halo_r, axis=axis,
+        batch_axes={0: batch_axis} if batch_axis else None)
     return out[:, vs_net.v_margin:-vs_net.v_margin]
 
 

@@ -77,12 +77,12 @@ class AgentEgo:
         self._lane_shard = None
         if mesh is not None:
             from ..parallel import mesh as meshlib
-            n_dev = len(list(mesh.devices.flat))
-            if batch_lanes % n_dev != 0:
-                raise ValueError(
-                    f"batch_lanes={batch_lanes} not divisible by mesh size "
-                    f"{n_dev}")
             axis = mesh.axis_names[0]
+            n_lane_dev = int(mesh.shape[axis])
+            if batch_lanes % n_lane_dev != 0:
+                raise ValueError(
+                    f"batch_lanes={batch_lanes} not divisible by the "
+                    f"{axis!r} mesh axis ({n_lane_dev})")
             from jax.sharding import NamedSharding, PartitionSpec
             self._lane_shard = NamedSharding(mesh, PartitionSpec(axis))
             self.expert = meshlib.replicate(mesh, self.expert)
@@ -137,6 +137,25 @@ class AgentEgo:
         value_apply = lambda p, x: self.value_net.apply(p, x)
         pvs_apply = lambda p, w: self.policy_vs_net.apply(p, w)
         vvs_apply = lambda p, w: self.value_vs_net.apply(p, w)
+        if mesh is not None and "time" in mesh.axis_names \
+                and int(mesh.shape["time"]) > 1:
+            # DP x SP: lanes shard over axis0, the context encode over the
+            # "time" axis (parallel/seqpar.py) -- numerically equal to the
+            # unsharded pass (the vs nets run deterministic in both the
+            # rollout and the update, so no dropout-stream divergence)
+            if cfg.policy_v_net != "tcn" or cfg.value_v_net != "tcn":
+                raise ValueError(
+                    "a 'time' mesh axis (sequence parallelism) requires TCN "
+                    f"context nets (got policy={cfg.policy_v_net!r}, "
+                    f"value={cfg.value_v_net!r})")
+            from ..parallel import seqpar
+            lane_axis = mesh.axis_names[0]
+            pvs_apply = lambda p, w: seqpar.vsnet_encode_sp(
+                mesh, self.policy_vs_net, p, w, axis="time",
+                batch_axis=lane_axis)
+            vvs_apply = lambda p, w: seqpar.vsnet_encode_sp(
+                mesh, self.value_vs_net, p, w, axis="time",
+                batch_axis=lane_axis)
         self._applies = (policy_apply, pvs_apply, value_apply, vvs_apply)
 
         def pctx_apply(p_vs, windows, states):

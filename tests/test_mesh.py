@@ -181,3 +181,38 @@ def test_batch_lanes_must_divide_mesh():
     with pytest.raises(ValueError, match="divisible"):
         AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
                  batch_lanes=9, seed=0, dtype=jnp.float64, mesh=make_mesh(8))
+
+
+@pytest.mark.slow
+def test_train_step_dp_sp_2d_mesh_matches_single_device():
+    """DP x SP composition: one sample+update on a (4 data x 2 time) 2-D
+    mesh -- lanes data-parallel, the TCN context encode time-sharded
+    (parallel/seqpar.py) -- must equal the 1-device result."""
+    import __graft_entry__ as g
+    from egopose_tpu.parallel.mesh import make_mesh_2d
+    from egopose_tpu.rl import AgentEgo
+
+    world = list(g._world(jnp.float64, episode_len=4))
+    spec, model, tables, p, expert, cnn_feat, cfg = world
+    cfg.policy_v_net = "tcn"
+    cfg.policy_v_net_param = {"size": [64, 128], "dropout": 0.0}
+    cfg.value_v_net = "tcn"
+    cfg.value_v_net_param = {"size": [64, 128], "dropout": 0.0}
+
+    key = jax.random.PRNGKey(11)
+    results = {}
+    for name, mesh in (("single", None), ("2d", make_mesh_2d(4, 2))):
+        agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
+                         batch_lanes=8, seed=0, dtype=jnp.float64, mesh=mesh)
+        batch, log = agent.sample(key, 8 * p.env_episode_len)
+        if name == "2d":
+            assert len(batch.states.sharding.device_set) == 8, \
+                "rollout lanes not spread over the 2-D mesh"
+        metrics = agent.update_params(batch)
+        results[name] = (np.asarray(batch.rewards), metrics)
+    r1, m1 = results["single"]
+    r2, m2 = results["2d"]
+    np.testing.assert_allclose(r2, r1, rtol=1e-8, atol=1e-10)
+    for k in m1:
+        np.testing.assert_allclose(m2[k], m1[k], rtol=1e-6, atol=1e-8,
+                                   err_msg=f"metric {k} diverged on dp x sp")
