@@ -174,8 +174,9 @@ class TrajectoryViewer:
             self._save_video()
         else:
             try:
+                from ..utils.render import make_offscreen_renderer
                 self._renderer = getattr(self, "_renderer", None) or \
-                    self._mujoco.Renderer(self.model)
+                    make_offscreen_renderer(self.model)
             except Exception:
                 return  # no offscreen GL on this host
             self._vid_frames = []
@@ -206,7 +207,9 @@ class TrajectoryViewer:
         import os
         os.makedirs("out", exist_ok=True)
         try:
-            renderer = self._mujoco.Renderer(self.model)
+            from ..utils.render import make_offscreen_renderer
+            renderer = getattr(self, "_renderer", None) or \
+                make_offscreen_renderer(self.model)
             renderer.update_scene(self.data)
             img = renderer.render()
             try:

@@ -13,6 +13,29 @@ import os
 import numpy as np
 
 
+_OFFSCREEN_BROKEN = None  # first construction failure, cached per process
+
+
+def make_offscreen_renderer(model, height=480, width=640):
+    """Construct ``mujoco.Renderer`` with the first failure cached for the
+    whole process.  On GL-less hosts the FIRST failed construction raises a
+    catchable FatalError but leaves the GL loader in a state where a SECOND
+    attempt hard-aborts the interpreter (SIGABRT inside Renderer.__init__)
+    -- so after one failure, every later caller gets a plain RuntimeError
+    and falls back without ever touching the GL stack again."""
+    global _OFFSCREEN_BROKEN
+    if _OFFSCREEN_BROKEN is not None:
+        raise RuntimeError(
+            "offscreen renderer unavailable: %s" % _OFFSCREEN_BROKEN)
+    import mujoco
+    try:
+        return mujoco.Renderer(model, height=height, width=width)
+    except Exception as e:
+        _OFFSCREEN_BROKEN = repr(e)
+        raise RuntimeError(
+            "offscreen renderer unavailable: %s" % _OFFSCREEN_BROKEN) from e
+
+
 def render_qpos_video(trajs, out_path, fps=30, res=(640, 480),
                       model_xml=None, spacing=1.0):
     """Render one or more qpos trajectories side by side to a video file.
@@ -28,7 +51,8 @@ def render_qpos_video(trajs, out_path, fps=30, res=(640, 480),
         spec = parse_mjcf(find_model_xml(model_xml or "humanoid_1205_v1"))
         model = mujoco.MjModel.from_xml_string(export_mjcf(spec))
         data = mujoco.MjData(model)
-        renderer = mujoco.Renderer(model, height=res[1], width=res[0])
+        renderer = make_offscreen_renderer(model, height=res[1],
+                                           width=res[0])
         frames = []
         t_len = min(t.shape[0] for t in trajs)
         for t in range(t_len):

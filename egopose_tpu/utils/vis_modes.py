@@ -93,7 +93,8 @@ def wild_fpv_tpv_video(traj_pred, take, pose_ctx, cfg, wild_meta, out_path,
         spec = parse_mjcf(find_model_xml(cfg.mujoco_model))
         model = mujoco.MjModel.from_xml_string(export_mjcf(spec))
         data = mujoco.MjData(model)
-        renderer = mujoco.Renderer(model, height=360, width=360)
+        from .render import make_offscreen_renderer
+        renderer = make_offscreen_renderer(model, height=360, width=360)
     except Exception as e:
         logger.info("no offscreen GL (%s) -- keypoint panels only" % e)
 

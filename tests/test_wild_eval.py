@@ -136,6 +136,18 @@ def test_wild_eval_chain(tmp_path, monkeypatch):
     assert np.isfinite(pose_dist) and pose_dist > 0
     assert np.isfinite(smooth)
 
+    # --- wild FPV/TPV vis mode (headless composited video per take) ---------
+    out = _run_cli("eval_pose_wild",
+                   ["--egomimic-cfg", "tiny_wild", "--egomimic-iter", "0",
+                    "--data", "wild_01", "--mode", "vis"], cwd)
+    # two takes: the second take used to SIGABRT on GL-less hosts (second
+    # mujoco.Renderer attempt aborts the process; utils/render.py caches the
+    # first failure now) -- one output per take, .mp4 or the .npz fallback
+    import glob as _glob
+    for take in (TAKE, TAKE2):
+        vis = _glob.glob(str(tmp_path / ("out/wild_vis_egomimic_%s.*" % take)))
+        assert vis, (take, out[-1500:])
+
     # --- wild forecasting from the estimation results ------------------------
     _run_cli("ego_forecast_eval_wild",
              ["--cfg", "tiny_wild", "--iter", "0", "--test-feat", "wild_01"],
