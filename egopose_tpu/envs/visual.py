@@ -222,6 +222,20 @@ class TrajectoryViewer:
             pass  # no offscreen GL on this host
 
     def run(self):
+        # ``mujoco.viewer`` is a submodule NOT loaded by ``import mujoco``;
+        # without this explicit import the interactive path dies with
+        # AttributeError even on hosts that have a display
+        import mujoco.viewer
+
+        # pre-flight the display: on a headless host launch_passive EXITS
+        # the process ("ERROR: could not initialize GLFW") instead of
+        # raising, which would kill the caller's headless video fallback --
+        # probe GLFW ourselves, where failure is a catchable return code
+        import glfw
+        if not glfw.init():
+            raise RuntimeError("no display: GLFW init failed")
+        glfw.terminate()  # launch_passive re-initializes
+
         mujoco = self._mujoco
         self.update_pose()
         with mujoco.viewer.launch_passive(
