@@ -87,14 +87,17 @@ def save_replay(out_path, traj_pred: dict, traj_orig: dict):
     return out_path
 
 
-def _write_video(frames, out_path, fps):
+def _write_video(frames, out_path, fps, bgr=False):
+    """``frames`` are RGB by default (renderer output); pass ``bgr=True``
+    for cv2-native frames (imread/drawing) so channels aren't double-
+    swapped on the way into the BGR-expecting VideoWriter."""
     try:
         import cv2
         h, w = frames[0].shape[:2]
         vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
                              fps, (w, h))
         for f in frames:
-            vw.write(f[..., ::-1])
+            vw.write(f if bgr else f[..., ::-1])
         vw.release()
     except Exception:
         np.savez_compressed(os.path.splitext(out_path)[0] + ".npz",

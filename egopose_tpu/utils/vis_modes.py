@@ -129,7 +129,7 @@ def wild_fpv_tpv_video(traj_pred, take, pose_ctx, cfg, wild_meta, out_path,
         frames.append(np.concatenate(panels, axis=1))
 
     from .render import _write_video
-    _write_video(frames, out_path, fps)
+    _write_video(frames, out_path, fps, bgr=True)  # panels are cv2-native
     written = out_path if os.path.exists(out_path) else \
         os.path.splitext(out_path)[0] + ".npz"
     logger.info("wrote wild vis for %s to %s" % (take, written))
