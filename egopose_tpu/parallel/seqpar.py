@@ -146,6 +146,13 @@ def vregnet_apply_sp(mesh: Mesh, reg_net, params, x, train: bool = False,
     (T, B, out_dim), equal to ``reg_net.apply(params, x, train)``.  The CNN,
     MLP, and output head are per-frame (receptive field 0); only the TCN
     temporal net needs the halo, so the whole model is position-local."""
+    if train:
+        raise ValueError(
+            "sequence-parallel statereg forward is inference-only: "
+            "train=True would need per-shard dropout RNGs plumbed through "
+            "shard_map, and independent per-shard masks could not equal the "
+            "unsharded reg_net.apply(params, x, True) this function "
+            "promises -- run training forwards unsharded")
     if reg_net.v_net_type != "tcn":
         raise ValueError(
             "sequence-parallel statereg forward requires a TCN temporal net "

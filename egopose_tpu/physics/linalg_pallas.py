@@ -228,7 +228,7 @@ def _spd_solve_vmap(axis_size, in_batched, a, rhs):
 # fused dynamics + contact solve
 # ---------------------------------------------------------------------------
 
-def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred,
+def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, v_pred,
                    n: int, c: int, k: int, iters: int, relax: float,
                    xcol0: int = 1, sup_segs=None):
     """Delassus accumulation + projected contact sweep, shared by the fused
@@ -253,7 +253,6 @@ def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred,
             wblk = x_s[pl.ds(d0, dw), xcol0:, :]          # (dw,c,L)
             for d in range(dw):
                 acc = acc + jblk[:, d:d + 1, :] * wblk[d][None]
-    ac_s[...] = acc
     lam = _sweep_lam(acc, bhat, mu_ref[...], k, iters, relax)
     lam_row = lam[:, 0, :][None]                          # (1,c,L)
     return v_pred + jnp.sum(x_s[:, xcol0:, :] * lam_row, axis=1,
@@ -283,7 +282,7 @@ def _sweep_lam(acc, bhat, mu, k, iters, relax):
     return lam
 
 
-def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred, invd,
+def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, v_pred, invd,
                        n: int, c: int, k: int, iters: int, relax: float,
                        sup_segs=None):
     """Symmetric Delassus accumulation + sweep for the forward-only LDL
@@ -297,7 +296,7 @@ def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred, invd,
     the caller finishes v_new = v_pred + L^-1 D^-1 (Y lam) with one
     single-column ldl_fsolve (the c substitution columns are never run).
     All indexing is static, so it runs on refs in the kernel and on plain
-    values in tests (pass ac_s=None there)."""
+    values in tests."""
     vp_row = v_pred[:, 0, :][None]                        # (1,n,L)
     b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
     bhat = b - target_ref[...]
@@ -321,13 +320,11 @@ def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, ac_s, v_pred, invd,
         [blocks[a][bb] if bb <= a else jnp.swapaxes(blocks[bb][a], 0, 1)
          for bb in range(3)], axis=1) for a in range(3)]
     acc = jnp.concatenate(rows, axis=0)                   # (c,c,L)
-    if ac_s is not None:
-        ac_s[...] = acc
     return _sweep_lam(acc, bhat, mu_ref[...], k, iters, relax)
 
 
 def _fused_contact_kernel(a_ref, rhs_ref, jf_ref, target_ref, mu_ref,
-                          qvel_ref, out_ref, a_s, ac_s, x_s,
+                          qvel_ref, out_ref, a_s, x_s,
                           n: int, c: int, k: int, iters: int, relax: float):
     """Factor A (blocked), solve [dt*qfrc | J^T], then the shared contact
     sweep -- all in VMEM.  Shapes (lane-major, L=LANES): a (n,n,L),
@@ -338,7 +335,7 @@ def _fused_contact_kernel(a_ref, rhs_ref, jf_ref, target_ref, mu_ref,
     x_s[...] = rhs_ref[...]
     _subst_blocked(a_s, x_s, n)
     v_pred = qvel_ref[...] + x_s[:, 0:1, :]               # (n,1,L)
-    out_ref[...] = _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s,
+    out_ref[...] = _contact_sweep(jf_ref, target_ref, mu_ref, x_s,
                                   v_pred, n, c, k, iters, relax)
 
 
@@ -384,7 +381,6 @@ def _fused_contact_tpu(a, qfrc, qvel, jf, target, mu, dt, iters, relax,
         out_shape=jax.ShapeDtypeStruct((n, 1, bp), a.dtype),
         interpret=interpret,
         scratch_shapes=[pltpu.VMEM((n, n, LANES), a.dtype),
-                        pltpu.VMEM((c, c, LANES), a.dtype),
                         pltpu.VMEM((n, 1 + c, LANES), a.dtype)],
     )(at, rt, jt, tt, mt, vt)
     return out.transpose(2, 0, 1)[:bsz, :, 0]
@@ -461,7 +457,7 @@ def make_fused_contact_solve(iters: int, relax: float):
 def _pd_fused_kernel(m_ref, kdd_ref, rhspd_ref, e_ref, jkp_ref, jkd_ref,
                      tlim_ref, gear_ref, qfb_ref, qvel_ref, jf_ref, jft_ref,
                      target_ref, mu_ref, dt_ref, out_ref,
-                     a_s, xpd_s, x_s, ac_s,
+                     a_s, xpd_s, x_s,
                      n: int, c: int, k: int, iters: int, relax: float):
     """Shapes (lane-major, L=LANES): m (n,n,L); kdd (n,2,L) = [jkd_full,
     dof_damping] diag additions; rhspd/e/jkp/jkd/tlim/gear/qfb/qvel (n,1,L);
@@ -493,7 +489,7 @@ def _pd_fused_kernel(m_ref, kdd_ref, rhspd_ref, e_ref, jkp_ref, jkd_ref,
 
     # ---- shared projected contact sweep ----
     v_pred = qvel_ref[...] + x_s[:, 0:1, :]                  # (n,1,L)
-    out_ref[...] = _contact_sweep(jf_ref, target_ref, mu_ref, x_s, ac_s,
+    out_ref[...] = _contact_sweep(jf_ref, target_ref, mu_ref, x_s,
                                   v_pred, n, c, k, iters, relax)
 
 
@@ -543,8 +539,7 @@ def _pd_fused_tpu(mmat, kdd, rhspd, e, jkp, jkd, tlim, gear, qfb, qvel,
         interpret=interpret,
         scratch_shapes=[pltpu.VMEM((n, n, LANES), mmat.dtype),
                         pltpu.VMEM((n, 1, LANES), mmat.dtype),
-                        pltpu.VMEM((n, 1 + c, LANES), mmat.dtype),
-                        pltpu.VMEM((c, c, LANES), mmat.dtype)],
+                        pltpu.VMEM((n, 1 + c, LANES), mmat.dtype)],
     )(*args)
     return out.transpose(2, 0, 1)[:bsz, :, 0]
 

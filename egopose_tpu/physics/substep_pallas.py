@@ -51,9 +51,12 @@ from .linalg_pallas import (LANES, _contact_sweep, _contact_sweep_sym,
 
 def supports(m) -> bool:
     """The kernel assumes one actuator per hinge dof in dof order (holds for
-    every create_humanoid-generated model incl. the EgoPose humanoid).
-    pd_control_step silently keeps the split path for anything else."""
-    return tuple(m.actuator_dof) == tuple(range(6, m.ndof))
+    every create_humanoid-generated model incl. the EgoPose humanoid) and at
+    least one joint dof (the level-batched FK concatenates per-level joint
+    rows, which is empty for a bare free body).  pd_control_step silently
+    keeps the split path for anything else."""
+    return m.ndof > 6 and \
+        tuple(m.actuator_dof) == tuple(range(6, m.ndof))
 
 
 def _build_static(m, params):
@@ -252,8 +255,8 @@ def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem, cppk):
         anc=masks[:, :nd][:, :, None],
         anc_t1=masks[:, nd:][:, :, None],            # anc.T * (1 - anc)
         mass_col=bodyc[:, 0:1],
-        icol=lambda i, j: bodyc[:, 2 + _SYMIDX[(min(i, j), max(i, j))]:
-                                3 + _SYMIDX[(min(i, j), max(i, j))]],
+        icol=lambda i, j: bodyc[:, 1 + _SYMIDX[(min(i, j), max(i, j))]:
+                                2 + _SYMIDX[(min(i, j), max(i, j))]],
         m_vf=treem[0:nd, 0:nd], m_vb=treem[nd:nd + nb, 0:nd],
         m_ab=treem[nd + nb:nd + 2 * nb, 0:nd],
         m_gdds=treem[0:nd, nd:nd + nb],
@@ -464,7 +467,7 @@ def _lane_integrate(st, q, v_new, dtype):
 def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
                     ndc_ref, masks_ref, bodyc_ref, pdm_ref, cpc_ref,
                     treem_ref, cppk_ref, oq_ref, ov_ref, a_s, a2_s, x_s,
-                    ac_s, xpd_s, jf_s, tgt_s, mu_s,
+                    xpd_s, jf_s, tgt_s, mu_s,
                     *, st, n_frames, iters, relax, dtype):
     nd = st["nd"]
     k = st["k"]
@@ -555,7 +558,7 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
             qacc_col = jnp.concatenate(x0, axis=0)
             v_pred = (v + qacc_col)[:, None, :]
 
-            lam = _contact_sweep_sym(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
+            lam = _contact_sweep_sym(jf_s, tgt_s, mu_s, x_s, v_pred,
                                      invd_dyn, nd, c3, k, iters, relax,
                                      sup_segs=st["sup_segs"])
             u = jnp.sum(x_s[...] * lam[:, 0, :][None], axis=1,
@@ -568,7 +571,7 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
             _subst_blocked(a2_s, xpd_s, nd)
             v_pred = v[:, None, :] + xpd_s[...]
 
-            v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, ac_s, v_pred,
+            v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, v_pred,
                                    nd, c3, k, iters, relax, xcol0=0,
                                    sup_segs=st["sup_segs"])[:, 0, :]
 
@@ -598,11 +601,10 @@ def _packed_consts(st):
     ndc[:, 7] = st["cmass"][[st["dof_body"][d] for d in range(nd)]]
     anc = st["anc"].astype(np.float64)
     masks = np.concatenate([anc, anc.T * (1.0 - anc)], axis=1)
-    bodyc = np.zeros((nb, 8))
+    bodyc = np.zeros((nb, 7))
     bodyc[:, 0] = st["mass"]
-    bodyc[:, 1] = st["cmass"]
     for (i, j), idx in _SYMIDX.items():
-        bodyc[:, 2 + idx] = st["inertia"][:, i, j]
+        bodyc[:, 1 + idx] = st["inertia"][:, i, j]
     cpc = np.stack([st["cp_radius"], st["cp_mu"]], axis=1)
     m_vf, m_vb, m_ab, m_gdds = _tree_masks(st)
     treem = np.zeros((nd + 2 * nb, nd + nb))
@@ -655,7 +657,7 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
                           dtype=dtype),
         grid=(bp // LANES,),
         in_specs=[bs2(nq), bs2(nd), bs2(nu), bs3(nu, 1), bs3(nu, 1),
-                  bs3(nu, 1), bsc(nd, 8), bsc(nd, 2 * nd), bsc(st["nb"], 8),
+                  bs3(nu, 1), bsc(nd, 8), bsc(nd, 2 * nd), bsc(st["nb"], 7),
                   bsc(nd, ncp), bsc(ncp, 2),
                   bsc(nd + 2 * st["nb"], nd + st["nb"]),
                   bsc(4 * ncp, st["nb"])],
@@ -670,7 +672,6 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
             pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
                        else (nd, nd, LANES), dtype),
             pltpu.VMEM((nd, c3, LANES), dtype),
-            pltpu.VMEM((c3, c3, LANES), dtype),
             pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
                        else (nd, 1, LANES), dtype),
             pltpu.VMEM((c3, nd, LANES), dtype),

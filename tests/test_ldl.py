@@ -204,7 +204,7 @@ def test_forward_only_contact_path_matches_full(model):
     y_val = jnp.stack([xv[i][1:] for i in range(nd)], axis=0)  # (nd,c3,B)
 
     lam = LIN._contact_sweep_sym(
-        jf, target[:, None, :], mu[:, None, :], y_val, None, v_pred,
+        jf, target[:, None, :], mu[:, None, :], y_val, v_pred,
         invd_dyn, nd, c3, k, iters, relax, sup_segs=st["sup_segs"])
     u = jnp.sum(y_val * lam[:, 0, :][None], axis=1, keepdims=True)
     uv = [u[i, :, :] for i in range(nd)]

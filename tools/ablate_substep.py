@@ -116,17 +116,17 @@ def _stub_ldl_factor(mrows, dvals, anc):
     return [1.0 / jnp.maximum(d, 1e-12) for d in dvals]
 
 
-def _stub_sweep_sym(jf, tgt, mu, x_s, ac_s, v_pred, invd, n, c, *a, **kw):
+def _stub_sweep_sym(jf, tgt, mu, x_s, v_pred, invd, n, c, *a, **kw):
     return jnp.zeros((c, 1, v_pred.shape[-1]), v_pred.dtype) \
         + v_pred[:c] * 1e-6
 
 
 full = run("full")
 no_sweep = run("no_sweep",
-               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a, **kw: v_pred,
+               sweep=lambda jf, tgt, mu, x_s, v_pred, *a, **kw: v_pred,
                sweep_sym=_stub_sweep_sym)
 no_solve = run("no_solve",
-               sweep=lambda jf, tgt, mu, x_s, ac_s, v_pred, *a, **kw: v_pred,
+               sweep=lambda jf, tgt, mu, x_s, v_pred, *a, **kw: v_pred,
                sweep_sym=_stub_sweep_sym,
                lfac=_stub_ldl_factor,
                lsol=lambda mrows, invd, anc, xv: None,
