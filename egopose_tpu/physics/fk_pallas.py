@@ -242,8 +242,13 @@ def _fk_compute_lvl(q, topo, dtype):
                    * sn for i in range(3)], axis=0)     # (4,ms,L)
             bq_new = _qmul(bq_p, r)
             bt_new = anchor_w - _qrot(bq_new, c_vec)
-            bq = jnp.concatenate([bq_new, bq[:, ms:, :]], axis=1)
-            bt = jnp.concatenate([bt_new, bt[:, ms:, :]], axis=1)
+            if ms == m:
+                # Mosaic rejects the zero-size tail slice a concatenate
+                # would produce when every body at this level advances
+                bq, bt = bq_new, bt_new
+            else:
+                bq = jnp.concatenate([bq_new, bq[:, ms:, :]], axis=1)
+                bt = jnp.concatenate([bt_new, bt[:, ms:, :]], axis=1)
         for i, b in enumerate(bs):
             wq[b] = bq[:, i:i + 1, :]
             wt[b] = bt[:, i:i + 1, :]
