@@ -35,6 +35,23 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true", default=False,
                         help="evaluate in float64 (validation parity runs, "
                              "SURVEY 7.4.4); default f32")
+    parser.add_argument("--expert-ind", type=int, default=-1,
+                        help="restrict to one take's windows (reference "
+                             "ego_forecast_eval.py:26; default all)")
+    parser.add_argument("--start-ind", type=int, default=None,
+                        help="restrict to the window starting at this frame "
+                             "(ego_forecast_eval.py:27)")
+    parser.add_argument("--show-noise", action="store_true", default=False,
+                        help="sampled instead of mean actions "
+                             "(ego_forecast_eval.py:158)")
+    parser.add_argument("--render", action="store_true", default=False,
+                        help="replay the rolled-out windows in the viewer "
+                             "after the batched scan (the scan rolls all "
+                             "windows at once, so rendering happens post-hoc "
+                             "rather than live as in the reference)")
+    parser.add_argument("--verbose", action="store_true", default=False,
+                        help="per-window failure log lines "
+                             "(ego_forecast_eval.py:175)")
     args = parser.parse_args(argv)
 
     import jax
@@ -85,7 +102,15 @@ def main(argv=None):
             start += m
     lane_take = np.array(lane_take, np.int32)
     lane_start = np.array(lane_start, np.int32)
+    keep = np.ones(len(lane_take), bool)
+    if args.expert_ind >= 0:
+        keep &= lane_take == args.expert_ind
+    if args.start_ind is not None:
+        keep &= lane_start == args.start_ind
+    lane_take, lane_start = lane_take[keep], lane_start[keep]
     n_lanes = len(lane_take)
+    if n_lanes == 0:
+        raise SystemExit("no forecast windows match --expert-ind/--start-ind")
     logger.info("%d forecast windows across %d takes" % (n_lanes, n_takes))
 
     expert_qpos = np.asarray(expert.qpos)
@@ -166,7 +191,13 @@ def main(argv=None):
         s_carry, s_out = policy_vs.apply(ts.policy_vs, s_carry, zobs,
                                          method=policy_vs.s_step)
         vctx = v_out[:, t] if v_out.ndim == 3 else v_out
-        action, _ = policy_apply(ts.policy, jnp.concatenate([vctx, s_out], -1))
+        action, log_std = policy_apply(ts.policy,
+                                       jnp.concatenate([vctx, s_out], -1))
+        if args.show_noise:  # sampled instead of mean actions
+            from ..rl.distributions import diag_gaussian_sample
+            action = diag_gaussian_sample(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), t),
+                action, log_std)
         new_st, out = jax.vmap(
             lambda s, a: envs.step(model, p, tables, expert, s, a))(st, action)
         return (new_st, s_carry), (qpos_rec, out.fail)
@@ -176,12 +207,18 @@ def main(argv=None):
     qpos_traj = np.asarray(qpos_traj)            # (T, L, nq)
     n_fail = int(np.asarray(fails).sum())
     logger.info("window failures: %d" % n_fail)
+    if args.verbose:
+        for li in np.where(np.asarray(fails).any(axis=0))[0]:
+            logger.info("fail - expert_ind: %d, start_ind %d"
+                        % (lane_take[li], lane_start[li]))
 
     # assemble per-take stacked windows incl. the margin of past frames
     # (estimation-result frames under em init, GT under --gt-init)
     traj_pred_dict, traj_orig_dict = {}, {}
     for i in range(n_takes):
         sel = np.where(lane_take == i)[0]
+        if len(sel) == 0:           # take filtered out by --expert-ind
+            continue
         preds, origs = [], []
         for li in sel:
             s = lane_start[li]
@@ -202,7 +239,7 @@ def main(argv=None):
                                         "_gt" if args.gt_init else "")
     pickle.dump((results, meta), open(res_path, "wb"))
     logger.info("saved results to %s" % res_path)
-    if args.mode == "vis":
+    if args.mode == "vis" or args.render:
         # live window rendering in the reference (ego_forecast_eval.py:86-92);
         # interactive viewer here, replay + video when headless
         from ..utils.vis_modes import view_or_render_windows

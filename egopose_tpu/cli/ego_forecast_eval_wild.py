@@ -28,6 +28,20 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true", default=False,
                         help="evaluate in float64 (validation parity runs, "
                              "SURVEY 7.4.4); default f32")
+    parser.add_argument("--test-ind", type=int, default=-1,
+                        help="restrict to one wild take (reference "
+                             "ego_forecast_eval_wild.py:27; default all)")
+    parser.add_argument("--start-ind", type=int, default=None,
+                        help="restrict to the window starting at this frame")
+    parser.add_argument("--show-noise", action="store_true", default=False,
+                        help="sampled instead of mean actions")
+    parser.add_argument("--render", action="store_true", default=False,
+                        help="replay the rolled-out windows after the "
+                             "batched scan (post-hoc; the scan rolls all "
+                             "windows at once)")
+    parser.add_argument("--vis-model",
+                        default="humanoid_1205_vis_forecast_v1",
+                        help="vis model XML for --render/--mode vis")
     args = parser.parse_args(argv)
 
     import jax
@@ -83,13 +97,16 @@ def main(argv=None):
     # lane list: every sliding window of every take
     lane_take, lane_start = [], []
     for i, take in enumerate(takes):
+        if args.test_ind >= 0 and i != args.test_ind:
+            continue
         take_len = cnn_feat_dict[take].shape[0]
         est_len = em_res["traj_pred"][take].shape[0]
         start = m
         while start + test_len <= take_len and \
                 start - em_margin + test_len <= est_len:
-            lane_take.append(i)
-            lane_start.append(start)
+            if args.start_ind is None or start == args.start_ind:
+                lane_take.append(i)
+                lane_start.append(start)
             start += m
     n_lanes = len(lane_take)
     logger.info("%d wild forecast windows across %d takes"
@@ -145,8 +162,13 @@ def main(argv=None):
         s_carry, s_out = policy_vs.apply(ts.policy_vs, s_carry, zobs,
                                          method=policy_vs.s_step)
         vctx = v_out[:, t] if v_out.ndim == 3 else v_out
-        action, _ = policy_apply(ts.policy,
-                                 jnp.concatenate([vctx, s_out], -1))
+        action, log_std = policy_apply(ts.policy,
+                                       jnp.concatenate([vctx, s_out], -1))
+        if args.show_noise:  # sampled instead of mean actions
+            from ..rl.distributions import diag_gaussian_sample
+            action = diag_gaussian_sample(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), t),
+                action, log_std)
         new_st, out = jax.vmap(
             lambda s, a: envs.step(model, p, tables, expert, s, a, 0.0,
                                    fix_head_lb=-10.0))(st, action)
@@ -181,9 +203,10 @@ def main(argv=None):
     pickle.dump((results, meta), open(res_path, "wb"))
     logger.info("saved results to %s" % res_path)
 
-    if args.mode == "vis":
+    if args.mode == "vis" or args.render:
         from ..utils.vis_modes import view_or_render_windows
-        view_or_render_windows(results, res_path, logger)
+        view_or_render_windows(results, res_path, logger,
+                               vis_model=args.vis_model)
     return results
 
 

@@ -23,6 +23,10 @@ def main(argv=None):
     parser.add_argument("--test-feat", default=None)
     parser.add_argument("--test-ind", type=int, default=-1)
     parser.add_argument("--show-noise", action="store_true", default=False)
+    parser.add_argument("--render", action="store_true", default=False,
+                        help="replay the predicted trajectories after the "
+                             "batched scan (post-hoc; the reference renders "
+                             "live during its sequential rollout)")
     parser.add_argument("--f64", action="store_true", default=False,
                         help="evaluate in float64 (validation parity runs, "
                              "SURVEY 7.4.4); default f32")
@@ -207,6 +211,11 @@ def main(argv=None):
                                       args.test_feat)
     pickle.dump((results, meta), open(res_path, "wb"))
     logger.info("saved results to %s" % res_path)
+    if args.render:
+        from ..utils.vis_modes import view_or_render_windows
+        view_or_render_windows(
+            {"traj_pred": {t: traj_pred[t][None] for t in traj_pred}},
+            res_path, logger)
     return results
 
 

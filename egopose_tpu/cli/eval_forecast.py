@@ -70,6 +70,12 @@ def main(argv=None):
     parser.add_argument("--data", default="test")
     parser.add_argument("--suffix", default="")
     parser.add_argument("--mode", default="stats")
+    parser.add_argument("--multi", action="store_true", default=False,
+                        help="vis: time-staggered multi-window puppeting "
+                             "(eval_forecast.py:188,224)")
+    parser.add_argument("--vis-model", default="humanoid_1205_vis_ghost_v1")
+    parser.add_argument("--multi-vis-model",
+                        default="humanoid_1205_vis_forecast_v1")
     args = parser.parse_args(argv)
 
     from ..utils.config import EgoForecastConfig
@@ -92,11 +98,12 @@ def main(argv=None):
                   {take: {"pred": results["traj_pred"][take],
                           "orig": results["traj_orig"][take]}
                    for take in results["traj_pred"]})]
+        from ..utils.assets import find_model_xml
+        xml = find_model_xml(
+            args.multi_vis_model if args.multi else args.vis_model)
         try:
             from ..envs.visual import TrajectoryViewer
-            from ..utils.assets import find_model_xml
-            TrajectoryViewer(
-                find_model_xml("humanoid_1205_vis_double_v1"), algos).run()
+            TrajectoryViewer(xml, algos).run()
         except Exception as e:
             print("no display (%s) -- writing video instead" % e)
             from ..utils.render import render_qpos_video

@@ -15,8 +15,27 @@ def main(argv=None):
     parser.add_argument("--data", default="wild_01")
     parser.add_argument("--mode", default="stats")
     parser.add_argument("--horizons", type=int, nargs="+", default=[30, 90])
+    parser.add_argument("--horizon", type=int, default=None,
+                        help="single horizon (the reference's flag, "
+                             "eval_forecast_wild.py:26); overrides "
+                             "--horizons")
     parser.add_argument("--meta-file", default=None)
+    parser.add_argument("--take-ind", type=int, default=-1,
+                        help="restrict to one take (default all)")
+    parser.add_argument("--tpv", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="include the TPV panel in --stats-vis videos")
+    parser.add_argument("--stats-vis", action="store_true", default=False,
+                        help="also write keypoint-overlay videos of the "
+                             "first window per take while computing stats")
+    parser.add_argument("--multi", action="store_true", default=False,
+                        help="vis: use the multi-humanoid overlay model")
+    parser.add_argument("--vis-model", default="humanoid_1205_vis_ghost_v1")
+    parser.add_argument("--multi-vis-model",
+                        default="humanoid_1205_vis_blank_v1")
     args = parser.parse_args(argv)
+    if args.horizon is not None:
+        args.horizons = [args.horizon]
 
     import jax.numpy as jnp
     import yaml
@@ -38,18 +57,36 @@ def main(argv=None):
     results, _ = pickle.load(open(res_path, "rb"))
     m = cfg.fr_margin
     dt = 1 / 30.0
+    if args.take_ind >= 0:
+        keep = list(results["traj_pred"].keys())[args.take_ind]
+        results = dict(results)
+        results["traj_pred"] = {keep: results["traj_pred"][keep]}
+
+    class _L:
+        def info(self, msg):
+            print(msg)
 
     if args.mode == "vis":
         # wild forecast window vis (eval_forecast_wild.py vis mode):
         # interactive viewer or headless replay/video
         from ..utils.vis_modes import view_or_render_windows
-
-        class _L:
-            def info(self, msg):
-                print(msg)
-        return view_or_render_windows(results, res_path, _L())
+        return view_or_render_windows(
+            results, res_path, _L(),
+            vis_model=args.multi_vis_model if args.multi else args.vis_model)
     if args.mode != "stats":
         raise SystemExit("unknown --mode %s (stats|vis)" % args.mode)
+
+    if args.stats_vis:  # overlay videos alongside the stats
+        from ..utils.vis_modes import wild_fpv_tpv_video
+        os.makedirs("out", exist_ok=True)
+        for take, windows in results["traj_pred"].items():
+            if windows.shape[0]:
+                wild_fpv_tpv_video(
+                    windows[0], take, pose_ctx, cfg, wild_meta,
+                    "out/wildfc_statsvis_%s.mp4" % take, _L(),
+                    tpv=args.tpv,
+                    vis_model=args.multi_vis_model if args.multi
+                    else args.vis_model)
 
     out = {}
     for horizon in args.horizons:

@@ -63,7 +63,9 @@ def main(argv=None):
     parser.add_argument("--egomimic-iter", type=int, default=0)
     parser.add_argument("--statereg-iter", type=int, default=0)
     parser.add_argument("--algo", default="ego_mimic")
-    parser.add_argument("--tag", default="")
+    parser.add_argument("--tag", "--egomimic-tag", dest="tag", default="",
+                        help="results-file suffix (the reference's "
+                             "--egomimic-tag, eval_pose.py:25)")
     parser.add_argument("--multi", action="store_true", default=False,
                         help="vis: time-staggered multi-humanoid puppeting")
     parser.add_argument("--vis-model", default="humanoid_1205_vis_double_v1")

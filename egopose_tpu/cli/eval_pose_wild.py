@@ -62,6 +62,22 @@ def main(argv=None):
     parser.add_argument("--mode", default="stats")
     parser.add_argument("--meta-file", default=None,
                         help="yaml with tpv_offset/tpv_flip/traj_ub")
+    parser.add_argument("--take-ind", type=int, default=-1,
+                        help="vis: restrict to one take (reference "
+                             "eval_pose_wild.py:28 starts its viewer there; "
+                             "default all)")
+    parser.add_argument("--tpv", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="include the third-person-view panel "
+                             "(eval_pose_wild.py:30)")
+    parser.add_argument("--stats-vis", action="store_true", default=False,
+                        help="also write the keypoint-overlay videos while "
+                             "computing stats (eval_pose_wild.py:71)")
+    parser.add_argument("--multi", action="store_true", default=False,
+                        help="vis: use the multi-humanoid overlay model")
+    parser.add_argument("--vis-model", default="humanoid_1205_vis_single_v1")
+    parser.add_argument("--multi-vis-model",
+                        default="humanoid_1205_vis_estimate_v1")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -92,6 +108,9 @@ def main(argv=None):
         sr_res, _ = pickle.load(open(path, "rb"))
 
     takes = list((em_res or sr_res)["traj_pred"].keys())
+    if args.take_ind >= 0:
+        takes = [takes[args.take_ind]]
+    vis_model = args.multi_vis_model if args.multi else args.vis_model
     out = {}
     if args.mode == "stats":
         out["ego_mimic"] = compute_wild_metrics(
@@ -100,6 +119,16 @@ def main(argv=None):
         out["state_reg"] = compute_wild_metrics(
             sr_res, "state reg", takes, pose_ctx, wild_meta, cfg.data_dir,
             cfg.fr_margin)
+        if args.stats_vis:  # overlay videos alongside the stats
+            from ..utils.vis_modes import wild_fpv_tpv_video
+            res, algo = (em_res, "egomimic") if em_res is not None \
+                else (sr_res, "statereg")
+            os.makedirs("out", exist_ok=True)
+            for take in takes:
+                wild_fpv_tpv_video(
+                    res["traj_pred"][take], take, pose_ctx, cfg, wild_meta,
+                    "out/wild_statsvis_%s_%s.mp4" % (algo, take),
+                    _PrintLogger(), tpv=args.tpv, vis_model=vis_model)
     elif args.mode == "vis":
         # the reference's FPV/TPV synced viewer (eval_pose_wild.py:103-273);
         # headless form: per-take composited video [3D pose | FPV | TPV +
@@ -111,7 +140,8 @@ def main(argv=None):
         for take in takes:
             out[take] = wild_fpv_tpv_video(
                 res["traj_pred"][take], take, pose_ctx, cfg, wild_meta,
-                "out/wild_vis_%s_%s.mp4" % (algo, take), _PrintLogger())
+                "out/wild_vis_%s_%s.mp4" % (algo, take), _PrintLogger(),
+                tpv=args.tpv, vis_model=vis_model)
     else:
         raise SystemExit("unknown --mode %s (stats|vis)" % args.mode)
     return out

@@ -60,7 +60,7 @@ def _load_frames(folder, exts=("png", "jpg")):
 
 
 def wild_fpv_tpv_video(traj_pred, take, pose_ctx, cfg, wild_meta, out_path,
-                       logger, tpv=True, fps=30):
+                       logger, tpv=True, fps=30, vis_model=None):
     """Headless form of the reference's wild FPV/TPV synced viewer
     (eval_pose_wild.py:103-273): per frame, composite
 
@@ -90,7 +90,7 @@ def wild_fpv_tpv_video(traj_pred, take, pose_ctx, cfg, wild_meta, out_path,
         import mujoco
         from ..physics import export_mjcf, parse_mjcf
         from .assets import find_model_xml
-        spec = parse_mjcf(find_model_xml(cfg.mujoco_model))
+        spec = parse_mjcf(find_model_xml(vis_model or cfg.mujoco_model))
         model = mujoco.MjModel.from_xml_string(export_mjcf(spec))
         data = mujoco.MjData(model)
         from .render import make_offscreen_renderer
@@ -103,7 +103,9 @@ def wild_fpv_tpv_video(traj_pred, take, pose_ctx, cfg, wild_meta, out_path,
     for fr in range(traj_pred.shape[0]):
         panels = []
         if renderer is not None:
-            data.qpos[:] = traj_pred[fr]
+            # multi-humanoid vis models carry N copies; puppet the first
+            nq = min(model.nq, traj_pred.shape[1])
+            data.qpos[:nq] = traj_pred[fr][:nq]
             import mujoco
             mujoco.mj_forward(model, data)
             renderer.update_scene(data)
