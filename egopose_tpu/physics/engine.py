@@ -88,6 +88,16 @@ class ContactParams(NamedTuple):
                              # landing/standing golden scenario (RMS 0.00224
                              # both) and cuts the Delassus solve width 49->25,
                              # +30% control-step throughput on v5e
+    max_pair_contacts: int = 4  # top-K deepest body-body (self-collision)
+                             # candidates kept per substep.  The reference
+                             # model resolves body-body pairs frictionless
+                             # (condim=1, humanoid_1205_v1.xml:11), so each
+                             # selected pair contributes ONE normal-only row
+                             # to the contact system (vs 3 for floor points);
+                             # 4 covers the persistent Neck/Shoulder contacts
+                             # plus crossed-limb poses.  0 disables
+                             # self-collision (floor-only, rounds 1-3
+                             # behavior)
     fused_solver: bool = False  # use the single fused Pallas kernel for the
                                 # whole solve+contact chain (measured slightly
                                 # slower than the split path on v5e: the
@@ -317,38 +327,121 @@ def bias_force(m: PhysicsModel, kin: Kin, qvel: jax.Array) -> jax.Array:
 # contacts (penalty model vs the z=0 floor plane) and joint limits
 # ---------------------------------------------------------------------------
 
-def contact_jacobian(m: PhysicsModel, kin: Kin,
-                     params: ContactParams = DEFAULT_CONTACT):
-    """Active-contact geometry: top-K deepest candidate points, their stacked
-    Jacobian (3K, nd), penetrations, and friction coefficients."""
-    nd = m.ndof
-    dt = m.timestep
-    k = min(params.max_contacts, m.ncpoint)
+def pair_candidates(m: PhysicsModel, kin: Kin):
+    """Body-body (self-collision) contact candidates: one candidate per
+    enabled geom pair (see model._collision_pairs_np for the MuJoCo filter).
 
-    p_all = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
-                                                    m.cpoint_local)
-    phi_all = m.cpoint_radius - p_all[:, 2]
-    phi, sel = jax.lax.top_k(phi_all, k)
-    p = p_all[sel]
-    mu = m.cpoint_mu[sel]
-    dof_mask = m.point_dof_mask.T[sel]
-    act = (phi > -params.margin).astype(p.dtype)
+    Returns (phi (PP,), n (PP,3), p (PP,3)) for PP = npair + nbpair pair
+    candidates: penetration depth (positive = overlapping), contact normal
+    (pointing from body2/box toward body1/segment, world frame), and the
+    contact point (midpoint between the two surfaces).  The corresponding
+    signed dof masks are the static model columns
+    [m.pair_dof_mask | m.bpair_dof_mask].
 
-    s_ang, s_lin = kin.s[:, :3], kin.s[:, 3:]
-    jp = s_lin[None] + jnp.cross(jnp.broadcast_to(s_ang[None], (k, nd, 3)),
-                                 p[:, None, :])
-    jp = jp * (act[:, None] * dof_mask)[:, :, None]
-    jf = jp.transpose(0, 2, 1).reshape(3 * k, nd)
-    return jf, phi, mu, act
+    This is the candidate-generation half of what the MuJoCo C broadphase/
+    narrowphase does for the reference every substep
+    (/root/reference/envs/common/mujoco_env.py:22-24).  Deviations: parallel
+    capsule overlaps produce one contact (MuJoCo: up to two), and segment-box
+    distance minimizes a convex signed distance with a fixed 16-step ternary
+    search instead of MPR."""
+    eps = 1e-12
+    outs = []
+    if m.npair:
+        q1, x1 = kin.xquat[m.pair_body1], kin.xpos[m.pair_body1]
+        q2, x2 = kin.xquat[m.pair_body2], kin.xpos[m.pair_body2]
+        a1 = x1 + Q.quat_rotate(q1, m.pair_a1)
+        b1 = x1 + Q.quat_rotate(q1, m.pair_b1)
+        a2 = x2 + Q.quat_rotate(q2, m.pair_a2)
+        b2 = x2 + Q.quat_rotate(q2, m.pair_b2)
+        # closest points between segments (Ericson 5.1.9, branch-free):
+        # degenerate (zero-length = sphere) segments divide by eps and clamp
+        d1, d2, r = b1 - a1, b2 - a2, a1 - a2
+        A = jnp.sum(d1 * d1, -1)
+        E = jnp.sum(d2 * d2, -1)
+        B = jnp.sum(d1 * d2, -1)
+        C = jnp.sum(d1 * r, -1)
+        F = jnp.sum(d2 * r, -1)
+        denom = A * E - B * B
+        s = jnp.clip((B * F - C * E) / jnp.maximum(denom, eps), 0.0, 1.0)
+        t = jnp.clip((B * s + F) / jnp.maximum(E, eps), 0.0, 1.0)
+        s = jnp.clip((B * t - C) / jnp.maximum(A, eps), 0.0, 1.0)
+        c1 = a1 + s[:, None] * d1
+        c2 = a2 + t[:, None] * d2
+        diff = c1 - c2
+        dist = jnp.sqrt(jnp.sum(diff * diff, -1))
+        n = diff / jnp.maximum(dist, 1e-9)[:, None]
+        phi = m.pair_rsum - dist
+        p = 0.5 * (c1 + c2) - 0.5 * m.pair_rdiff[:, None] * n
+        outs.append((phi, n, p))
+    if m.nbpair:
+        qs, xs = kin.xquat[m.bpair_body_seg], kin.xpos[m.bpair_body_seg]
+        qb, xb = kin.xquat[m.bpair_body_box], kin.xpos[m.bpair_body_box]
+        qw = Q.quat_mul(qb, m.bpair_boxquat)       # box world orientation
+        cb = xb + Q.quat_rotate(qb, m.bpair_boxpos)
+        aw = xs + Q.quat_rotate(qs, m.bpair_a)
+        bw = xs + Q.quat_rotate(qs, m.bpair_b)
+        al = Q.quat_rotate_inv(qw, aw - cb)        # segment in box frame
+        bl = Q.quat_rotate_inv(qw, bw - cb)
+        h = m.bpair_half
+
+        def sdist(t):
+            qq = al + t[:, None] * (bl - al)
+            dout = jnp.abs(qq) - h
+            mx = jnp.max(dout, -1)                 # inside: -depth
+            do = qq - jnp.clip(qq, -h, h)
+            return jnp.where(mx > 0, jnp.sqrt(jnp.sum(do * do, -1)), mx)
+
+        # signed point-box distance composed with an affine map is convex in
+        # t: fixed ternary search (interval shrinks (2/3)^16 ~ 1.5e-3)
+        lo = jnp.zeros_like(m.bpair_rseg)
+        hi = jnp.ones_like(lo)
+        for _ in range(16):
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            take = sdist(m1) < sdist(m2)
+            hi = jnp.where(take, m2, hi)
+            lo = jnp.where(take, lo, m1)
+        t = 0.5 * (lo + hi)
+        qq = al + t[:, None] * (bl - al)
+        dout = jnp.abs(qq) - h
+        mx = jnp.max(dout, -1)
+        outside = mx > 0
+        cc = jnp.clip(qq, -h, h)
+        do = qq - cc
+        disto = jnp.sqrt(jnp.sum(do * do, -1))
+        # inside: push out through the nearest face
+        onehot = jax.nn.one_hot(jnp.argmax(dout, -1), 3, dtype=qq.dtype)
+        n_in = jnp.where(qq >= 0, 1.0, -1.0) * onehot
+        n_l = jnp.where(outside[:, None],
+                        do / jnp.maximum(disto, 1e-9)[:, None], n_in)
+        signed = jnp.where(outside, disto, mx)
+        phi_b = m.bpair_rseg - signed
+        n_b = Q.quat_rotate(qw, n_l)               # points box -> segment
+        pw_t = aw + t[:, None] * (bw - aw)
+        p_out = 0.5 * ((cb + Q.quat_rotate(qw, cc))
+                       + (pw_t - m.bpair_rseg[:, None] * n_b))
+        p_b = jnp.where(outside[:, None], p_out, pw_t)
+        outs.append((phi_b, n_b, p_b))
+    phi = jnp.concatenate([o[0] for o in outs])
+    n = jnp.concatenate([o[1] for o in outs])
+    p = jnp.concatenate([o[2] for o in outs])
+    return phi, n, p
 
 
 def contact_blocks(m: PhysicsModel, kin: Kin,
                    params: ContactParams = DEFAULT_CONTACT):
-    """Active-contact geometry in BLOCK row order ([all-x; all-y; all-z]) for
-    the fused Pallas solve: returns (jf (3K,nd), target (3K,), mu (K,))."""
+    """Active-contact geometry in BLOCK row order for the contact solve:
+    returns (jf (3K+KP, nd), target (3K+KP,), mu (K,)).
+
+    Rows [0:3K] are the floor contacts ([all-x; all-y; all-z] tangent/normal
+    blocks of the top-K deepest floor candidates, friction mu); rows
+    [3K:3K+KP] are the top-KP deepest body-body pair candidates, one
+    frictionless normal row each (the reference model's body geoms are
+    condim=1, humanoid_1205_v1.xml:11)."""
     nd = m.ndof
     dt = m.timestep
     k = min(params.max_contacts, m.ncpoint)
+    kp = min(params.max_pair_contacts, m.npair + m.nbpair)
 
     p_all = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
                                                     m.cpoint_local)
@@ -367,85 +460,40 @@ def contact_blocks(m: PhysicsModel, kin: Kin,
     vn_target = jnp.minimum(
         params.beta * jnp.maximum(phi - params.slop, 0.0) / dt, 1.0) * act
     target = jnp.concatenate([jnp.zeros(2 * k, p.dtype), vn_target])
+
+    if kp:
+        phi_p, n_p, p_p = pair_candidates(m, kin)
+        smask_all = jnp.concatenate([m.pair_dof_mask, m.bpair_dof_mask], 1)
+        php, selp = jax.lax.top_k(phi_p, kp)
+        n_sel, p_sel = n_p[selp], p_p[selp]
+        sm = smask_all.T[selp]                      # (kp, nd) signed
+        actp = (php > -params.margin).astype(p.dtype)
+        # relative-velocity Jacobian row along the normal:
+        # row[d] = (s_lin_d . n + s_ang_d . (p x n)) * smask[d]
+        # (for dofs ancestral to both bodies the point velocity is common
+        # and cancels -- exactly the zero entries of the signed mask)
+        pxn = jnp.cross(p_sel, n_sel)               # (kp,3)
+        rows = jnp.einsum("di,ki->kd", s_lin, n_sel, precision=_HI) \
+            + jnp.einsum("di,ki->kd", s_ang, pxn, precision=_HI)
+        rows = rows * (actp[:, None] * sm)
+        vn_p = jnp.minimum(
+            params.beta * jnp.maximum(php - params.slop, 0.0) / dt,
+            1.0) * actp
+        jf = jnp.concatenate([jf, rows], 0)
+        target = jnp.concatenate([target, vn_p])
     return jf, target, mu
 
 
-def contact_iterate(m: PhysicsModel, jf, w, phi, mu, act, v_pred,
-                    params: ContactParams = DEFAULT_CONTACT) -> jax.Array:
-    """Projected sweep on the contact QP given W = Minv J^T (nd, 3K)."""
-    k = phi.shape[0]
-    dt = m.timestep
+def contact_sweep_blocks(jf, w, target, mu, v_pred, iters, relax):
+    """Projected-Jacobi sweep on the contact QP in block row order, given the
+    Delassus columns W = Minv J^T (nd, 3K+KP).  Friction box clamp on the
+    first 3K rows (tangent-x/tangent-y/normal blocks), plain lambda >= 0 on
+    the trailing KP frictionless pair rows."""
+    k = mu.shape[0]
+    c = jf.shape[0]
     a = _mm(jf, w)
     b = _mm(jf, v_pred)
-    vn_target = jnp.minimum(
-        params.beta * jnp.maximum(phi - params.slop, 0.0) / dt, 1.0) * act
-    target = jnp.zeros((k, 3), v_pred.dtype).at[:, 2].set(vn_target).reshape(-1)
     bhat = b - target
-    diag = jnp.sum(jnp.abs(a), axis=-1) + 1.0e-9
-
-    def sweep(lam, _):
-        g = _mm(a, lam) + bhat
-        lam = lam - params.relax * g / diag
-        lam = lam.reshape(k, 3)
-        ln = jnp.maximum(lam[:, 2], 0.0)
-        lim = mu * ln
-        lt = jnp.clip(lam[:, :2], -lim[:, None], lim[:, None])
-        return jnp.concatenate([lt, ln[:, None]], -1).reshape(-1), None
-
-    lam0 = jnp.zeros(3 * k, v_pred.dtype)
-    lam, _ = jax.lax.scan(sweep, lam0, None, length=params.iters)
-    return v_pred + _mm(w, lam)
-
-
-def contact_project(m: PhysicsModel, kin: Kin, chol_l: jax.Array,
-                    v_pred: jax.Array,
-                    params: ContactParams = DEFAULT_CONTACT) -> jax.Array:
-    """Velocity-level floor-contact solve given a precomputed Cholesky factor
-    (compatibility entry; step_raw/pd_control_step use the fused
-    contact_jacobian + spd_solve + contact_iterate path).
-
-    Replaces MuJoCo's constraint solver for the floor contacts of the EgoPose
-    humanoid.  Formulation: an inelastic contact QP over point impulses
-    lambda (tangent-x, tangent-y, normal per candidate point), solved with a
-    diagonally-preconditioned projected Jacobi iteration -- all dense matmuls,
-    so thousands of vmapped lanes map straight onto the MXU.  A Baumgarte
-    bias removes penetration without bounce; friction uses a box (pyramidal)
-    cone.  Unconditionally stable (impulses, not penalty forces).
-    """
-    nd = m.ndof
-    dt = m.timestep
-    k = min(params.max_contacts, m.ncpoint)
-
-    p_all = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
-                                                    m.cpoint_local)
-    phi_all = m.cpoint_radius - p_all[:, 2]          # penetration depth
-    # keep only the K deepest candidates (contacts are sparse: in normal
-    # operation only the feet touch) -- cuts the QP from 3*ncpoint to 3*K
-    phi, sel = jax.lax.top_k(phi_all, k)
-    p = p_all[sel]
-    mu = m.cpoint_mu[sel]
-    dof_mask = m.point_dof_mask.T[sel]               # (K,nd)
-    act = (phi > -params.margin).astype(v_pred.dtype)
-
-    # point Jacobians: v_point = J qvel;  J[k, :, d] = s_lin_d + s_ang_d x p_k
-    # for dofs d on the path root -> body(k) only (point_dof_mask)
-    s_ang, s_lin = kin.s[:, :3], kin.s[:, 3:]       # (nd,3)
-    jp = s_lin[None] + jnp.cross(jnp.broadcast_to(s_ang[None], (k, nd, 3)),
-                                 p[:, None, :])     # (K,nd,3)
-    jp = jp * (act[:, None] * dof_mask)[:, :, None]
-    jf = jp.transpose(0, 2, 1).reshape(3 * k, nd)   # rows: (x,y,z) per point
-
-    w = jax.scipy.linalg.cho_solve((chol_l, True), jf.T)   # (nd,3K)
-    a = _mm(jf, w)                                      # (3K,3K)
-    b = _mm(jf, v_pred)
-
-    # normal rows target a small outward (+z) velocity removing penetration
-    # (clamped so deep spawns don't get a huge corrective kick)
-    vn_target = jnp.minimum(
-        params.beta * jnp.maximum(phi - params.slop, 0.0) / dt, 1.0) * act
-    target = jnp.zeros((k, 3), v_pred.dtype).at[:, 2].set(vn_target).reshape(-1)
-    bhat = b - target
-
     # Gershgorin (mass-splitting) preconditioner: plain diagonal Jacobi can
     # diverge when many points couple through one body (e.g. 8 corners of a
     # foot box); dividing by the absolute row sum makes the sweep a
@@ -454,15 +502,18 @@ def contact_project(m: PhysicsModel, kin: Kin, chol_l: jax.Array,
 
     def sweep(lam, _):
         g = _mm(a, lam) + bhat
-        lam = lam - params.relax * g / diag
-        lam = lam.reshape(k, 3)
-        ln = jnp.maximum(lam[:, 2], 0.0)
+        lam = lam - relax * g / diag
+        ln = jnp.maximum(lam[2 * k:3 * k], 0.0)
         lim = mu * ln
-        lt = jnp.clip(lam[:, :2], -lim[:, None], lim[:, None])
-        return jnp.concatenate([lt, ln[:, None]], -1).reshape(-1), None
+        lx = jnp.clip(lam[:k], -lim, lim)
+        ly = jnp.clip(lam[k:2 * k], -lim, lim)
+        parts = [lx, ly, ln]
+        if c > 3 * k:
+            parts.append(jnp.maximum(lam[3 * k:], 0.0))
+        return jnp.concatenate(parts), None
 
-    lam0 = jnp.zeros(3 * k, v_pred.dtype)
-    lam, _ = jax.lax.scan(sweep, lam0, None, length=params.iters)
+    lam0 = jnp.zeros(c, v_pred.dtype)
+    lam, _ = jax.lax.scan(sweep, lam0, None, length=iters)
     return v_pred + _mm(w, lam)
 
 
@@ -520,16 +571,16 @@ def step_raw(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array, tau: jax.Array,
     The dynamics solve and the contact Delassus columns (W = Minv J^T) share
     one fused SPD solve (the Pallas lane-major kernel under vmap)."""
     qfrc, a, kin = smooth_dynamics(m, qpos, qvel, tau, params)
+    jf, target, mu = contact_blocks(m, kin, params)
     if params.fused_solver:
-        jf, target, mu = contact_blocks(m, kin, params)
         fused = _fused_solver(params.iters, params.relax)
         qvel = fused(a, qfrc, qvel, jf, target, mu, m.timestep)
     else:
-        jf, phi, mu, act = contact_jacobian(m, kin, params)
         sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T], axis=1))
         qacc, w = sol[:, 0], sol[:, 1:]
         v_pred = qvel + m.timestep * qacc
-        qvel = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
+        qvel = contact_sweep_blocks(jf, w, target, mu, v_pred,
+                                    params.iters, params.relax)
     qpos = integrate(m, qpos, qvel, m.timestep)
     return qpos, qvel
 
@@ -593,17 +644,17 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
             torque * m.actuator_gear)
         qfrc, a, _ = smooth_dynamics(m, qp, qv, tau, params, kin, mm,
                                      qfrc_bias)
+        jf, target, mu = contact_blocks(m, kin, params)
         if params.fused_solver:
-            jf, target, mu = contact_blocks(m, kin, params)
             fused = _fused_solver(params.iters, params.relax)
             qv = fused(a, qfrc, qv, jf, target, mu, m.timestep)
         else:
-            jf, phi, mu, act = contact_jacobian(m, kin, params)
             sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T],
                                                axis=1))
             qacc, w = sol[:, 0], sol[:, 1:]
             v_pred = qv + m.timestep * qacc
-            qv = contact_iterate(m, jf, w, phi, mu, act, v_pred, params)
+            qv = contact_sweep_blocks(jf, w, target, mu, v_pred,
+                                      params.iters, params.relax)
         qp = integrate(m, qp, qv, m.timestep)
         return (qp, qv), None
 

@@ -261,12 +261,15 @@ def _contact_sweep(jf_ref, target_ref, mu_ref, x_s, v_pred,
 
 def _sweep_lam(acc, bhat, mu, k, iters, relax):
     """Projected-Jacobi friction sweep on an assembled Delassus ``acc``
-    (c,c,L): returns the converged impulse lam (c,1,L).
+    (c,c,L): returns the converged impulse lam (c,1,L).  Row layout: k
+    tangent-x, k tangent-y, k normal (friction box clamp), then any trailing
+    c-3k frictionless rows (self-collision pair contacts, lambda >= 0 only).
 
     python-unrolled: the sweep is a sequential chain of tiny matvecs that
     runs ~16x off its flop time under fori_loop -- unrolling (iters is
     static and small) removes per-trip loop machinery and lets Mosaic
     schedule across iterations."""
+    c = bhat.shape[0]
     diag = jnp.sum(jnp.abs(acc), axis=1, keepdims=True) + 1e-9
     inv_diag = relax / diag
     lam = jnp.zeros(bhat.shape, bhat.dtype)               # (c,1,L)
@@ -274,11 +277,14 @@ def _sweep_lam(acc, bhat, mu, k, iters, relax):
         lam_row = lam[:, 0, :][None]                      # (1,c,L)
         g = jnp.sum(acc * lam_row, axis=1, keepdims=True) + bhat
         lam = lam - g * inv_diag
-        ln = jnp.maximum(lam[2 * k:], 0.0)
+        ln = jnp.maximum(lam[2 * k:3 * k], 0.0)
         lim = mu * ln
         lx = jnp.clip(lam[:k], -lim, lim)
         ly = jnp.clip(lam[k:2 * k], -lim, lim)
-        lam = jnp.concatenate([lx, ly, ln], axis=0)
+        parts = [lx, ly, ln]
+        if c > 3 * k:
+            parts.append(jnp.maximum(lam[3 * k:], 0.0))
+        lam = jnp.concatenate(parts, axis=0)
     return lam
 
 
@@ -302,8 +308,14 @@ def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, v_pred, invd,
     bhat = b - target_ref[...]
 
     L = v_pred.shape[-1]
-    blocks = [[jnp.zeros((k, k, L), v_pred.dtype) for _ in range(a + 1)]
-              for a in range(3)]
+    # row groups: 3 friction blocks of k rows + optionally c-3k frictionless
+    # pair rows as a 4th group
+    groups = [(0, k), (k, k), (2 * k, k)]
+    if c > 3 * k:
+        groups.append((3 * k, c - 3 * k))
+    ng = len(groups)
+    blocks = [[jnp.zeros((groups[a][1], groups[bb][1], L), v_pred.dtype)
+               for bb in range(a + 1)] for a in range(ng)]
     for a0, b0 in (sup_segs if sup_segs is not None else ((0, n),)):
         for d0 in range(a0, b0, PANEL):
             dw = min(PANEL, b0 - d0)
@@ -311,14 +323,16 @@ def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, v_pred, invd,
             for d in range(dw):
                 y = yblk[d]                               # (c,L)
                 iy = invd[d0 + d] * y                     # (c,L)
-                for a in range(3):
-                    ya = iy[a * k:(a + 1) * k][:, None, :]      # (k,1,L)
+                for a in range(ng):
+                    o_a, s_a = groups[a]
+                    ya = iy[o_a:o_a + s_a][:, None, :]          # (sa,1,L)
                     for bb in range(a + 1):
-                        yb = y[bb * k:(bb + 1) * k][None]        # (1,k,L)
+                        o_b, s_b = groups[bb]
+                        yb = y[o_b:o_b + s_b][None]              # (1,sb,L)
                         blocks[a][bb] = blocks[a][bb] + ya * yb
     rows = [jnp.concatenate(
         [blocks[a][bb] if bb <= a else jnp.swapaxes(blocks[bb][a], 0, 1)
-         for bb in range(3)], axis=1) for a in range(3)]
+         for bb in range(ng)], axis=1) for a in range(ng)]
     acc = jnp.concatenate(rows, axis=0)                   # (c,c,L)
     return _sweep_lam(acc, bhat, mu_ref[...], k, iters, relax)
 
@@ -346,7 +360,7 @@ def _fused_contact_tpu(a, qfrc, qvel, jf, target, mu, dt, iters, relax,
     from jax.experimental.pallas import tpu as pltpu
     bsz, n, _ = a.shape
     c = jf.shape[1]
-    k = c // 3
+    k = mu.shape[1]          # c = 3k friction rows + (c-3k) pair rows
     pad = (-bsz) % LANES
     if pad:
         a = jnp.concatenate(
@@ -387,9 +401,10 @@ def _fused_contact_tpu(a, qfrc, qvel, jf, target, mu, dt, iters, relax,
 
 
 def _fused_contact_single(a, qfrc, qvel, jf, target, mu, dt, iters, relax):
-    """Stock-ops fallback with identical math (block row order)."""
+    """Stock-ops fallback with identical math (block row order; trailing
+    c-3k rows are frictionless pair contacts, lambda >= 0 only)."""
     c = jf.shape[0]
-    k = c // 3
+    k = mu.shape[0]
     sol = _spd_solve_single(a, jnp.concatenate([qfrc[:, None], jf.T], 1))
     qacc, w = sol[:, 0], sol[:, 1:]
     v_pred = qvel + dt * qacc
@@ -401,11 +416,14 @@ def _fused_contact_single(a, qfrc, qvel, jf, target, mu, dt, iters, relax):
     def sweep(lam, _):
         g = ac @ lam + bhat
         lam = lam - relax * g / diag
-        ln = jnp.maximum(lam[2 * k:], 0.0)
+        ln = jnp.maximum(lam[2 * k:3 * k], 0.0)
         lim = mu * ln
         lx = jnp.clip(lam[:k], -lim, lim)
         ly = jnp.clip(lam[k:2 * k], -lim, lim)
-        return jnp.concatenate([lx, ly, ln]), None
+        parts = [lx, ly, ln]
+        if c > 3 * k:
+            parts.append(jnp.maximum(lam[3 * k:], 0.0))
+        return jnp.concatenate(parts), None
 
     lam, _ = jax.lax.scan(sweep, jnp.zeros(c, a.dtype), None, length=iters)
     return v_pred + w @ lam
@@ -501,7 +519,7 @@ def _pd_fused_tpu(mmat, kdd, rhspd, e, jkp, jkd, tlim, gear, qfb, qvel,
     from jax.experimental.pallas import tpu as pltpu
     bsz, n, _ = mmat.shape
     c = jf.shape[1]
-    k = c // 3
+    k = mu.shape[1]          # c = 3k friction rows + (c-3k) pair rows
     pad = (-bsz) % LANES
     if pad:
         def padlast(x, fill=0.0):

@@ -28,10 +28,17 @@ from .spec import ModelSpec, parse_mjcf
                       "body_desc_mask", "vp_mask",
                       "point_dof_mask", "cpoint_body", "cpoint_local",
                       "cpoint_radius", "cpoint_mu",
+                      "pair_body1", "pair_body2", "pair_a1", "pair_b1",
+                      "pair_a2", "pair_b2", "pair_rsum", "pair_rdiff",
+                      "pair_dof_mask",
+                      "bpair_body_seg", "bpair_body_box", "bpair_a",
+                      "bpair_b", "bpair_rseg", "bpair_boxpos",
+                      "bpair_boxquat", "bpair_half", "bpair_dof_mask",
                       "level_body", "level_parent", "level_bodypos",
                       "level_axis", "level_anchor", "level_qpos_idx",
                       "level_dof_idx"],
          meta_fields=["nbody", "ndof", "nq", "nu", "ngeom", "ncpoint",
+                      "npair", "nbpair",
                       "parent", "dof_body", "dof_jnt_index", "geom_body",
                       "geom_type", "actuator_dof", "jnt_limited"])
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +50,8 @@ class PhysicsModel:
     nu: int
     ngeom: int
     ncpoint: int
+    npair: int               # sphere/capsule body-body collision pairs
+    nbpair: int              # segment-box body-body collision pairs
     parent: tuple            # (nb,)
     dof_body: tuple          # (nd,)
     dof_jnt_index: tuple     # (nd,) index of hinge within its body (0..2), -1 for free dofs
@@ -86,11 +95,36 @@ class PhysicsModel:
     level_anchor: jax.Array    # (L,Bmax,3,3) local anchors per slot (pad 0)
     level_qpos_idx: jax.Array  # (L,Bmax,3) int qpos index per slot, pad=nq
     level_dof_idx: jax.Array   # (L,Bmax,3) int dof index per slot, pad=nd
-    # --- contact candidate points ---
+    # --- contact candidate points (vs the floor plane) ---
     cpoint_body: jax.Array     # (K,) int body index
     cpoint_local: jax.Array    # (K,3) body-frame position
     cpoint_radius: jax.Array   # (K,)
     cpoint_mu: jax.Array       # (K,) sliding friction
+    # --- body-body collision pairs (self-collision; the geom pairs MuJoCo's
+    #     contype/conaffinity + parent-child filter enables on this model,
+    #     see /root/reference/assets/mujoco_models/humanoid_1205_v1.xml:11
+    #     and mujoco_env.py's MjSim stepping which resolves them) ---
+    # sphere/capsule vs sphere/capsule: segment-segment distance.  Normal
+    # points from body2 toward body1.
+    pair_body1: jax.Array      # (P,) int
+    pair_body2: jax.Array      # (P,) int
+    pair_a1: jax.Array         # (P,3) segment endpoints, body1 frame
+    pair_b1: jax.Array         # (P,3)
+    pair_a2: jax.Array         # (P,3) body2 frame
+    pair_b2: jax.Array         # (P,3)
+    pair_rsum: jax.Array       # (P,) r1 + r2
+    pair_rdiff: jax.Array      # (P,) r1 - r2 (surface-midpoint contact pos)
+    pair_dof_mask: jax.Array   # (nd,P) signed: +1 path->body1 only, -1 body2
+    # sphere/capsule vs box: segment-box distance.  Normal box -> segment.
+    bpair_body_seg: jax.Array  # (Pb,) int (plays body1)
+    bpair_body_box: jax.Array  # (Pb,) int (plays body2)
+    bpair_a: jax.Array         # (Pb,3) segment endpoints, seg-body frame
+    bpair_b: jax.Array         # (Pb,3)
+    bpair_rseg: jax.Array      # (Pb,)
+    bpair_boxpos: jax.Array    # (Pb,3) box center, box-body frame
+    bpair_boxquat: jax.Array   # (Pb,4) box orientation, box-body frame
+    bpair_half: jax.Array      # (Pb,3) box half-sizes
+    bpair_dof_mask: jax.Array  # (nd,Pb) signed: +1 seg body, -1 box body
 
     @property
     def nv(self) -> int:
@@ -132,6 +166,68 @@ def _candidate_points_np(spec: ModelSpec):
     return body, local, radius, mu
 
 
+def _geom_segment_np(spec: ModelSpec, g: int):
+    """Body-frame segment representation of a sphere/capsule geom:
+    (endpoint_a (3,), endpoint_b (3,), radius).  None for other types."""
+    from .spec import GEOM_SPHERE, GEOM_CAPSULE
+    from .spec import _quat_to_mat_np
+    t = int(spec.geom_type[g])
+    if t == GEOM_SPHERE:
+        return spec.geom_pos[g].copy(), spec.geom_pos[g].copy(), \
+            float(spec.geom_size[g][0])
+    if t == GEOM_CAPSULE:
+        rm = _quat_to_mat_np(spec.geom_quat[g])
+        off = rm @ np.array([0.0, 0.0, float(spec.geom_size[g][1])])
+        return spec.geom_pos[g] - off, spec.geom_pos[g] + off, \
+            float(spec.geom_size[g][0])
+    return None
+
+
+def _collision_pairs_np(spec: ModelSpec):
+    """Enumerate body-body geom pairs using MuJoCo's collision filter
+    (mj_collision semantics): different bodies, bodies not parent-child,
+    (contype1 & conaffinity2) | (contype2 & conaffinity1) nonzero.  On the
+    EgoPose humanoid this enables everything except leg-vs-leg (legs/feet
+    carry contype/conaffinity 1 and 2, humanoid_1205_v1.xml:112-130) and
+    adjacent links.
+
+    Splits into two shape classes: segment-segment (sphere/capsule pairs)
+    and segment-box (the feet boxes vs upper-body geoms).  Box-box pairs do
+    not occur in the model family (the two feet are in disjoint contact
+    groups) and are skipped.  All body-body pairs in the reference model are
+    condim=1 (frictionless, humanoid_1205_v1.xml:11), so pair contacts are
+    resolved normal-only; a condim>=3 body-body pair would also be resolved
+    frictionless (documented deviation)."""
+    from .spec import GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX
+    segseg = []
+    segbox = []
+    segtypes = (GEOM_SPHERE, GEOM_CAPSULE)
+    for g1 in range(spec.ngeom):
+        for g2 in range(g1 + 1, spec.ngeom):
+            b1, b2 = int(spec.geom_body[g1]), int(spec.geom_body[g2])
+            if b1 == b2:
+                continue
+            if spec.parent[b1] == b2 or spec.parent[b2] == b1:
+                continue
+            ct1, ca1 = int(spec.geom_contype[g1]), int(spec.geom_conaffinity[g1])
+            ct2, ca2 = int(spec.geom_contype[g2]), int(spec.geom_conaffinity[g2])
+            if not ((ct1 & ca2) or (ct2 & ca1)):
+                continue
+            t1, t2 = int(spec.geom_type[g1]), int(spec.geom_type[g2])
+            if t1 in segtypes and t2 in segtypes:
+                a1, e1, r1 = _geom_segment_np(spec, g1)
+                a2, e2, r2 = _geom_segment_np(spec, g2)
+                segseg.append((b1, b2, a1, e1, a2, e2, r1, r2))
+            elif GEOM_BOX in (t1, t2) and (t1 in segtypes or t2 in segtypes):
+                gs, gb = (g1, g2) if t2 == GEOM_BOX else (g2, g1)
+                bs, bb = int(spec.geom_body[gs]), int(spec.geom_body[gb])
+                a, e, r = _geom_segment_np(spec, gs)
+                segbox.append((bs, bb, a, e, r, spec.geom_pos[gb],
+                               spec.geom_quat[gb], spec.geom_size[gb]))
+            # box-box / plane pairs: none in the model family, skipped
+    return segseg, segbox
+
+
 def build_model(spec: ModelSpec, dtype=jnp.float32) -> PhysicsModel:
     """Compile a host ModelSpec into an on-device PhysicsModel."""
     # per-body hinge ordering (needed to compose multi-hinge bodies in order)
@@ -167,6 +263,32 @@ def build_model(spec: ModelSpec, dtype=jnp.float32) -> PhysicsModel:
     cp_body, cp_local, cp_radius, cp_mu = _candidate_points_np(spec)
     point_dof = body_anc[cp_body][:, spec.dof_body].T   # (nd,K)
 
+    # ---- body-body collision pairs ---------------------------------------
+    segseg, segbox = _collision_pairs_np(spec)
+    body_dof_f = body_anc[:, spec.dof_body].astype(np.float64)  # (nb,nd)
+    npair, nbpair = len(segseg), len(segbox)
+    p_b1 = np.array([p[0] for p in segseg], dtype=np.int32)
+    p_b2 = np.array([p[1] for p in segseg], dtype=np.int32)
+    p_a1 = np.stack([p[2] for p in segseg]) if npair else np.zeros((0, 3))
+    p_e1 = np.stack([p[3] for p in segseg]) if npair else np.zeros((0, 3))
+    p_a2 = np.stack([p[4] for p in segseg]) if npair else np.zeros((0, 3))
+    p_e2 = np.stack([p[5] for p in segseg]) if npair else np.zeros((0, 3))
+    p_rs = np.array([p[6] + p[7] for p in segseg])
+    p_rd = np.array([p[6] - p[7] for p in segseg])
+    p_dm = (body_dof_f[p_b1] - body_dof_f[p_b2]).T if npair \
+        else np.zeros((nd, 0))
+    bp_bs = np.array([p[0] for p in segbox], dtype=np.int32)
+    bp_bb = np.array([p[1] for p in segbox], dtype=np.int32)
+    bp_a = np.stack([p[2] for p in segbox]) if nbpair else np.zeros((0, 3))
+    bp_e = np.stack([p[3] for p in segbox]) if nbpair else np.zeros((0, 3))
+    bp_r = np.array([p[4] for p in segbox])
+    bp_pos = np.stack([p[5] for p in segbox]) if nbpair else np.zeros((0, 3))
+    bp_quat = np.stack([p[6] for p in segbox]) if nbpair \
+        else np.zeros((0, 4))
+    bp_half = np.stack([p[7] for p in segbox]) if nbpair else np.zeros((0, 3))
+    bp_dm = (body_dof_f[bp_bs] - body_dof_f[bp_bb]).T if nbpair \
+        else np.zeros((nd, 0))
+
     # ---- level-batched FK tables -----------------------------------------
     nb = spec.nbody
     depth = np.zeros(nb, dtype=int)
@@ -201,6 +323,7 @@ def build_model(spec: ModelSpec, dtype=jnp.float32) -> PhysicsModel:
     return PhysicsModel(
         nbody=spec.nbody, ndof=spec.ndof, nq=spec.nq, nu=spec.nu,
         ngeom=spec.ngeom, ncpoint=len(cp_body),
+        npair=npair, nbpair=nbpair,
         parent=tuple(int(x) for x in spec.parent),
         dof_body=tuple(int(x) for x in spec.dof_body),
         dof_jnt_index=tuple(int(x) for x in dof_jnt_index),
@@ -224,6 +347,19 @@ def build_model(spec: ModelSpec, dtype=jnp.float32) -> PhysicsModel:
         cpoint_local=arr(cp_local),
         cpoint_radius=arr(cp_radius),
         cpoint_mu=arr(cp_mu),
+        pair_body1=jnp.asarray(p_b1),
+        pair_body2=jnp.asarray(p_b2),
+        pair_a1=arr(p_a1), pair_b1=arr(p_e1),
+        pair_a2=arr(p_a2), pair_b2=arr(p_e2),
+        pair_rsum=arr(p_rs), pair_rdiff=arr(p_rd),
+        pair_dof_mask=arr(p_dm),
+        bpair_body_seg=jnp.asarray(bp_bs),
+        bpair_body_box=jnp.asarray(bp_bb),
+        bpair_a=arr(bp_a), bpair_b=arr(bp_e),
+        bpair_rseg=arr(bp_r),
+        bpair_boxpos=arr(bp_pos), bpair_boxquat=arr(bp_quat),
+        bpair_half=arr(bp_half),
+        bpair_dof_mask=arr(bp_dm),
         jnt_limited_f=arr(spec.jnt_limited.astype(np.float64)),
         body_pos=arr(spec.body_pos),
         body_mass=arr(spec.body_mass),

@@ -61,6 +61,7 @@ class ModelSpec:
     geom_friction: np.ndarray   # (ng,3)
     geom_contype: np.ndarray    # (ng,)
     geom_conaffinity: np.ndarray  # (ng,)
+    geom_condim: np.ndarray     # (ng,) contact dimensionality (1=frictionless)
     # floor
     floor_friction: np.ndarray  # (3,)
     # actuators
@@ -174,7 +175,8 @@ def parse_mjcf(path_or_str: str, density: float = 1000.0) -> ModelSpec:
 
     # defaults (single-level default block is all the reference uses)
     jnt_def = {"damping": 0.0, "armature": 0.0, "stiffness": 0.0, "limited": "true"}
-    geom_def = {"contype": 1, "conaffinity": 1, "friction": np.array([1.0, 0.005, 0.0001])}
+    geom_def = {"contype": 1, "conaffinity": 1, "condim": 3,
+                "friction": np.array([1.0, 0.005, 0.0001])}
     dnode = root.find("default")
     if dnode is not None:
         jd = dnode.find("joint")
@@ -186,7 +188,7 @@ def parse_mjcf(path_or_str: str, density: float = 1000.0) -> ModelSpec:
                 jnt_def["limited"] = jd.get("limited")
         gd = dnode.find("geom")
         if gd is not None:
-            for k in ("contype", "conaffinity"):
+            for k in ("contype", "conaffinity", "condim"):
                 if gd.get(k):
                     geom_def[k] = int(gd.get(k))
             if gd.get("friction"):
@@ -280,6 +282,7 @@ def parse_mjcf(path_or_str: str, density: float = 1000.0) -> ModelSpec:
                     "friction": _fl(g.get("friction"), geom_def["friction"], 3),
                     "contype": int(g.get("contype", geom_def["contype"])),
                     "conaffinity": int(g.get("conaffinity", geom_def["conaffinity"])),
+                    "condim": int(g.get("condim", geom_def["condim"])),
                 })
             walk(child, bidx, gpos)
 
@@ -362,6 +365,7 @@ def parse_mjcf(path_or_str: str, density: float = 1000.0) -> ModelSpec:
         geom_friction=np.stack([g["friction"] for g in geoms]),
         geom_contype=np.array([g["contype"] for g in geoms], dtype=np.int32),
         geom_conaffinity=np.array([g["conaffinity"] for g in geoms], dtype=np.int32),
+        geom_condim=np.array([g["condim"] for g in geoms], dtype=np.int32),
         floor_friction=floor_friction,
         nu=len(act_names),
         actuator_names=act_names,
@@ -438,6 +442,7 @@ def export_mjcf(spec: ModelSpec, with_floor: bool = True) -> str:
                 f'{pad}  <geom type="{t}" size="{ssize}" pos="{v3(spec.geom_pos[g])}" '
                 f'quat="{f(q[0])} {f(q[1])} {f(q[2])} {f(q[3])}" '
                 f'contype="{spec.geom_contype[g]}" conaffinity="{spec.geom_conaffinity[g]}" '
+                f'condim="{spec.geom_condim[g]}" '
                 f'friction="{spec.geom_friction[g][0]} {spec.geom_friction[g][1]} {spec.geom_friction[g][2]}"/>')
         for c in children[b]:
             emit(c, indent + 2)

@@ -277,3 +277,136 @@ def test_prone_many_contact_truncation_bounded(setup):
     assert abs(q8[2] - d.qpos[2]) < 0.15, (q8[2], d.qpos[2])
     # settled: residual root speed is small in both engines
     assert np.linalg.norm(v8[:3]) < 0.5 and np.linalg.norm(d.qvel[:3]) < 0.5
+
+
+def _pd_gains():
+    import yaml
+    cfg = yaml.safe_load(open("/root/reference/config/egomimic/subject_03.yml"))
+    jp = list(zip(*cfg["joint_params"]))
+    jkp = np.array(jp[1], dtype=float) * cfg["jkp_multiplier"]
+    jkd = np.array(jp[2], dtype=float) * cfg["jkp_multiplier"]
+    tl = np.array(jp[5], dtype=float)
+    return jkp, jkd, tl
+
+
+def _mj_pd_rollout(spec, mj, qpos0, ctrl, jkp, jkd, tl, n_steps):
+    """MuJoCo C driven by the same stable-PD controller (the reference's
+    do_simulation, humanoid_v1.py:130-174) -- the golden oracle, with MuJoCo
+    resolving ALL contacts incl. body-body self-collision."""
+    from scipy.linalg import cho_factor, cho_solve
+    d = mujoco.MjData(mj)
+    d.qpos[:] = qpos0
+    for _ in range(n_steps):
+        for _ in range(15):
+            mujoco.mj_forward(mj, d)
+            mfull = np.zeros((mj.nv, mj.nv))
+            mujoco.mj_fullM(mj, d, mfull)
+            kp = np.zeros(mj.nv)
+            kd = np.zeros(mj.nv)
+            kp[6:] = jkp
+            kd[6:] = jkd
+            e = np.concatenate([np.zeros(6), d.qpos[7:] - ctrl])
+            ed = d.qvel.copy()
+            qacc = cho_solve(
+                cho_factor(mfull + np.diag(kd) * mj.opt.timestep),
+                -d.qfrc_bias - kp * e - kd * ed)
+            tq = -jkp * e[6:] - jkd * (ed + qacc * mj.opt.timestep)[6:]
+            d.ctrl[:] = np.clip(tq, -tl, tl)
+            mujoco.mj_step(mj, d)
+    return d
+
+
+def _our_pd_rollout(model, qpos0, ctrl, jkp, jkd, tl, n_steps, max_pairs):
+    params = engine.DEFAULT_CONTACT._replace(substep_resident=False,
+                                             max_pair_contacts=max_pairs)
+    step = jax.jit(lambda a, b: engine.pd_control_step(
+        model, a, b, jnp.array(ctrl), jnp.array(jkp), jnp.array(jkd),
+        jnp.array(tl), 15, params))
+    q, v = jnp.array(qpos0), jnp.zeros(model.ndof)
+    for _ in range(n_steps):
+        q, v = step(q, v)
+    return np.asarray(q), np.asarray(v)
+
+
+def _pair_index(spec, model, names):
+    bn = spec.body_names
+    b1 = np.asarray(model.pair_body1)
+    b2 = np.asarray(model.pair_body2)
+    return [i for i in range(model.npair)
+            if {bn[int(b1[i])], bn[int(b2[i])]} == set(names)]
+
+
+def test_self_collision_arms_folded_tracks_mujoco(setup):
+    """VERDICT r3 item 1: body-body self-collision.  Arms folded across the
+    chest press each hand capsule against its upper-arm capsule (sustained
+    contact in MuJoCo for ~70% of substeps).  With pair contacts enabled the
+    engine must (a) track MuJoCo C closely and (b) keep the hand out of the
+    arm; with pair contacts off the hand sinks ~5 mm in and tracking is
+    measurably worse."""
+    spec, model, mj = setup
+    jkp, jkd, tl = _pd_gains()
+    jn = {n: i for i, n in enumerate(spec.jnt_names)}
+    ctrl = np.zeros(spec.nu)
+    for k, v in {"RightArm_z": -1.05, "LeftArm_z": 1.05,
+                 "RightForeArm_z": 2.9, "LeftForeArm_z": -2.9}.items():
+        ctrl[jn[k]] = v
+    qpos0 = np.zeros(spec.nq)
+    qpos0[2] = 0.91
+    qpos0[3] = 1.0
+
+    d = _mj_pd_rollout(spec, mj, qpos0, ctrl, jkp, jkd, tl, 45)
+    q_on, _ = _our_pd_rollout(model, qpos0, ctrl, jkp, jkd, tl, 45, 4)
+    q_off, _ = _our_pd_rollout(model, qpos0, ctrl, jkp, jkd, tl, 45, 0)
+
+    rms_on = np.sqrt(np.mean((q_on - d.qpos) ** 2))
+    rms_off = np.sqrt(np.mean((q_off - d.qpos) ** 2))
+    assert rms_on < 0.01, f"self-collision run diverged from mujoco: {rms_on}"
+    assert rms_on < rms_off, (rms_on, rms_off)
+
+    ha = _pair_index(spec, model, ("RightHand", "RightArm")) + \
+        _pair_index(spec, model, ("LeftHand", "LeftArm"))
+    assert len(ha) == 2
+    phi_on = np.asarray(engine.pair_candidates(
+        model, engine.fk(model, jnp.array(q_on)))[0])
+    phi_off = np.asarray(engine.pair_candidates(
+        model, engine.fk(model, jnp.array(q_off)))[0])
+    # ours resolves the contact to < ~1mm penetration; without pair contacts
+    # the hand rests several mm inside the arm
+    assert phi_on[ha].max() < 2e-3, phi_on[ha]
+    assert phi_off[ha].max() > 3e-3, phi_off[ha]
+
+
+def test_self_collision_crossed_thighs_tracks_mujoco(setup):
+    """Legs crossed mid-gait: the right thigh swings flexed across the left,
+    starting 2 cm interpenetrated (RightUpLeg/LeftUpLeg are both in the
+    default contact group -- the lower legs/feet are in disjoint groups 1/2
+    and never collide, humanoid_1205_v1.xml:112-130).  Both engines must
+    push the thighs apart the same way over 1 s."""
+    spec, model, mj = setup
+    jkp, jkd, tl = _pd_gains()
+    jn = {n: i for i, n in enumerate(spec.jnt_names)}
+    qpos0 = np.zeros(spec.nq)
+    qpos0[2] = 0.91
+    qpos0[3] = 1.0
+    qpos0[7 + jn["RightUpLeg_x"]] = -0.5
+    qpos0[7 + jn["RightUpLeg_y"]] = -0.45
+    qpos0[7 + jn["LeftUpLeg_y"]] = 0.45
+    ctrl = qpos0[7:].copy()          # PD-hold the crossed pose
+
+    tt = _pair_index(spec, model, ("RightUpLeg", "LeftUpLeg"))
+    assert len(tt) == 1
+    phi0 = np.asarray(engine.pair_candidates(
+        model, engine.fk(model, jnp.array(qpos0)))[0])
+    assert phi0[tt[0]] > 0.015, "test invalid: thighs not interpenetrated"
+
+    d = _mj_pd_rollout(spec, mj, qpos0, ctrl, jkp, jkd, tl, 30)
+    q_on, v_on = _our_pd_rollout(model, qpos0, ctrl, jkp, jkd, tl, 30, 4)
+
+    assert np.isfinite(q_on).all()
+    rms = np.sqrt(np.mean((q_on - d.qpos) ** 2))
+    assert rms < 0.05, f"crossed-thigh run diverged from mujoco: {rms}"
+    # both engines resolved the initial interpenetration
+    phi_end = np.asarray(engine.pair_candidates(
+        model, engine.fk(model, jnp.array(q_on)))[0])
+    assert phi_end[tt[0]] < 5e-3, phi_end[tt[0]]
+    assert abs(float(q_on[2]) - d.qpos[2]) < 0.05

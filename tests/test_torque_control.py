@@ -16,10 +16,12 @@ def test_torque_control_free_flight_matches_mujoco():
     model = build_model(spec, dtype=jnp.float64)
     mj = mujoco.MjModel.from_xml_string(export_mjcf(spec))
     # the EgoPose humanoid has an intrinsic ~0.9mm Neck/LeftShoulder capsule
-    # overlap (an always-on micro self-contact in MuJoCo); our engine models
-    # floor contacts only, so disable contacts in the oracle for this
-    # smooth-dynamics comparison
+    # overlap (an always-on micro self-contact); disable contacts on BOTH
+    # sides (oracle flag / max_pair_contacts=0) so this test exercises the
+    # smooth torque-driven dynamics only
     mj.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_CONTACT
+    no_pairs = engine.DEFAULT_CONTACT._replace(substep_resident=False,
+                                               max_pair_contacts=0)
     d = mujoco.MjData(mj)
     rng = np.random.RandomState(7)
     qpos = np.zeros(spec.nq)
@@ -43,7 +45,7 @@ def test_torque_control_free_flight_matches_mujoco():
 
     jq, jv = engine.torque_control_step(
         model, jnp.array(qpos), jnp.array(qvel), jnp.array(ctrl),
-        jnp.array(tl), 20)
+        jnp.array(tl), 20, no_pairs)
     np.testing.assert_allclose(np.asarray(jq[:3]), d.qpos[:3], atol=1e-6)
     np.testing.assert_allclose(np.asarray(jq[7:]), d.qpos[7:], atol=1e-5)
     np.testing.assert_allclose(np.asarray(jv), d.qvel, atol=1e-4)
