@@ -73,6 +73,14 @@ def _build_static(m, params):
     for d in range(6, nd):
         body_dofs[m.dof_body[d]].append(d)
     anc = np.asarray(m.anc_mask, np.float32)          # (nd,nd)
+    # self-collision pair tables (engine.pair_candidates' static half)
+    npair, nbpair = int(m.npair), int(m.nbpair)
+    kp = min(params.max_pair_contacts, npair + nbpair)
+    pdm_pair = np.concatenate(
+        [np.asarray(m.pair_dof_mask, np.float64),
+         np.asarray(m.bpair_dof_mask, np.float64)], axis=1)  # (nd, PP)
+    pdm_all = np.concatenate(
+        [np.asarray(m.point_dof_mask, np.float64), np.abs(pdm_pair)], axis=1)
     return dict(
         nb=nb, nd=nd, nq=nq,
         topo=_build_topo(m),
@@ -100,13 +108,32 @@ def _build_static(m, params):
         dt=float(np.asarray(m.timestep)),
         anc_dofs=(anc_dofs := dof_anc_lists(m.anc_mask)),
         anc_segs=anc_segments(anc_dofs),
-        # dofs that any contact candidate can load (static): J columns are
-        # structurally zero outside -- the Delassus accumulation skips them
+        # dofs that any contact candidate (floor or pair) can load (static):
+        # J columns are structurally zero outside -- the Delassus
+        # accumulation skips them
         sup_segs=anc_segments(
-            [tuple(np.where(np.asarray(m.point_dof_mask).sum(1) > 0)[0])]
+            [tuple(np.where(pdm_all.sum(1) > 0)[0])]
         )[0],
         sparse_ldl=bool(params.sparse_ldl),
         k=min(params.max_contacts, m.ncpoint),
+        kp=kp, npair=npair, nbpair=nbpair,
+        pdm_pair=pdm_pair,
+        pair_body1=tuple(int(x) for x in np.asarray(m.pair_body1)),
+        pair_body2=tuple(int(x) for x in np.asarray(m.pair_body2)),
+        pair_a1=np.asarray(m.pair_a1, np.float64),
+        pair_b1=np.asarray(m.pair_b1, np.float64),
+        pair_a2=np.asarray(m.pair_a2, np.float64),
+        pair_b2=np.asarray(m.pair_b2, np.float64),
+        pair_rsum=np.asarray(m.pair_rsum, np.float64),
+        pair_rdiff=np.asarray(m.pair_rdiff, np.float64),
+        bpair_body_seg=tuple(int(x) for x in np.asarray(m.bpair_body_seg)),
+        bpair_body_box=tuple(int(x) for x in np.asarray(m.bpair_body_box)),
+        bpair_a=np.asarray(m.bpair_a, np.float64),
+        bpair_b=np.asarray(m.bpair_b, np.float64),
+        bpair_rseg=np.asarray(m.bpair_rseg, np.float64),
+        bpair_boxpos=np.asarray(m.bpair_boxpos, np.float64),
+        bpair_boxquat=np.asarray(m.bpair_boxquat, np.float64),
+        bpair_half=np.asarray(m.bpair_half, np.float64),
         margin=float(params.margin), beta=float(params.beta),
         slop=float(params.slop), klim=float(params.klim),
         blim=float(params.blim),
@@ -242,7 +269,8 @@ def _apply_inertia_n(mass_col, com, ic, v):
 # pure lane-major substep math (value-level; CPU-testable without pallas)
 # ---------------------------------------------------------------------------
 
-def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem, cppk):
+def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem, cppk,
+                   prpk=None, pdmp=None, pairc=None):
     """Views into the packed per-model constant blocks (see _substep_tpu)."""
     nd, nb = st["nd"], st["nb"]
     ncp = st["cp_local"].shape[0]
@@ -260,7 +288,12 @@ def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem, cppk):
         m_vf=treem[0:nd, 0:nd], m_vb=treem[nd:nd + nb, 0:nd],
         m_ab=treem[nd + nb:nd + 2 * nb, 0:nd],
         m_gdds=treem[0:nd, nd:nd + nb],
-        pdm=pdm, cp_radius=cpc[:, 0:1], cp_mu_col=cpc[:, 1:2])
+        pdm=pdm, cp_radius=cpc[:, 0:1], cp_mu_col=cpc[:, 1:2],
+        prpk=prpk, pdmp=pdmp,
+        pr_rsum=None if pairc is None else pairc[:st["npair"], 0:1],
+        pr_rdiff=None if pairc is None else pairc[:st["npair"], 1:2],
+        bp_rseg=None if pairc is None else pairc[st["npair"]:, 0:1],
+        bp_half=None if pairc is None else pairc[st["npair"]:, 1:4])
 
 
 def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
@@ -428,6 +461,143 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     target = jnp.concatenate([jnp.zeros((2 * k, L), dtype)] + vn_rows,
                              axis=0)                   # (3k,L)
     mu = jnp.concatenate(mu_rows, axis=0)              # (k,L)
+
+    # ---- self-collision pair candidates (engine.pair_candidates) --------
+    # one frictionless normal row per selected pair (top-kp by depth)
+    kp = st["kp"]
+    if kp:
+        P, Pb = st["npair"], st["nbpair"]
+        PP = P + Pb
+        eps = 1e-12
+        # world coordinates of all pair points: one (4P+6Pb, 4nb) matmul per
+        # coordinate against the stacked [xpos_i; rot_i0; rot_i1; rot_i2]
+        W = [dot(C["prpk"],
+                 jnp.concatenate([xpos[:, i, :]] + [rot[i][j]
+                                                    for j in range(3)],
+                                 axis=0)) for i in range(3)]  # 3 x (rows,L)
+        phi_parts, n_parts, p_parts = [], [], []
+        if P:
+            a1 = [W[i][0:P] for i in range(3)]
+            b1 = [W[i][P:2 * P] for i in range(3)]
+            a2 = [W[i][2 * P:3 * P] for i in range(3)]
+            b2 = [W[i][3 * P:4 * P] for i in range(3)]
+            d1 = [b1[i] - a1[i] for i in range(3)]
+            d2 = [b2[i] - a2[i] for i in range(3)]
+            rr = [a1[i] - a2[i] for i in range(3)]
+            A = sum(d1[i] * d1[i] for i in range(3))
+            E = sum(d2[i] * d2[i] for i in range(3))
+            B = sum(d1[i] * d2[i] for i in range(3))
+            Cc = sum(d1[i] * rr[i] for i in range(3))
+            F = sum(d2[i] * rr[i] for i in range(3))
+            denom = A * E - B * B
+            s = jnp.clip((B * F - Cc * E) / jnp.maximum(denom, eps), 0., 1.)
+            t = jnp.clip((B * s + F) / jnp.maximum(E, eps), 0., 1.)
+            s = jnp.clip((B * t - Cc) / jnp.maximum(A, eps), 0., 1.)
+            c1 = [a1[i] + s * d1[i] for i in range(3)]
+            c2 = [a2[i] + t * d2[i] for i in range(3)]
+            df = [c1[i] - c2[i] for i in range(3)]
+            dist = jnp.sqrt(sum(df[i] * df[i] for i in range(3)))
+            inv = 1.0 / jnp.maximum(dist, 1e-9)
+            n_ss = [df[i] * inv for i in range(3)]
+            phi_parts.append(C["pr_rsum"] - dist)
+            p_parts.append([0.5 * (c1[i] + c2[i])
+                            - 0.5 * C["pr_rdiff"] * n_ss[i]
+                            for i in range(3)])
+            n_parts.append(n_ss)
+        if Pb:
+            o = 4 * P
+            cbx = [W[i][o:o + Pb] for i in range(3)]
+            ax = [[W[i][o + Pb * (1 + mm_):o + Pb * (2 + mm_)]
+                   for i in range(3)] for mm_ in range(3)]  # ax[m][i]
+            aw = [W[i][o + 4 * Pb:o + 5 * Pb] for i in range(3)]
+            bw = [W[i][o + 5 * Pb:o + 6 * Pb] for i in range(3)]
+            h = [C["bp_half"][:, j:j + 1] for j in range(3)]
+            al = [sum(ax[mm_][i] * (aw[i] - cbx[i]) for i in range(3))
+                  for mm_ in range(3)]
+            bl = [sum(ax[mm_][i] * (bw[i] - cbx[i]) for i in range(3))
+                  for mm_ in range(3)]
+
+            def sdist(t):
+                qq = [al[mm_] + t * (bl[mm_] - al[mm_]) for mm_ in range(3)]
+                dout = [jnp.abs(qq[mm_]) - h[mm_] for mm_ in range(3)]
+                mx = jnp.maximum(jnp.maximum(dout[0], dout[1]), dout[2])
+                do = [qq[mm_] - jnp.clip(qq[mm_], -h[mm_], h[mm_])
+                      for mm_ in range(3)]
+                disto = jnp.sqrt(sum(do[mm_] * do[mm_] for mm_ in range(3)))
+                return jnp.where(mx > 0, disto, mx)
+
+            lo = jnp.zeros((Pb, L), dtype)
+            hi = jnp.ones((Pb, L), dtype)
+            for _ in range(16):
+                m1 = lo + (hi - lo) / 3.0
+                m2 = hi - (hi - lo) / 3.0
+                take = sdist(m1) < sdist(m2)
+                hi = jnp.where(take, m2, hi)
+                lo = jnp.where(take, lo, m1)
+            t = 0.5 * (lo + hi)
+            qq = [al[mm_] + t * (bl[mm_] - al[mm_]) for mm_ in range(3)]
+            dout = [jnp.abs(qq[mm_]) - h[mm_] for mm_ in range(3)]
+            mx = jnp.maximum(jnp.maximum(dout[0], dout[1]), dout[2])
+            outside = mx > 0
+            cc = [jnp.clip(qq[mm_], -h[mm_], h[mm_]) for mm_ in range(3)]
+            do = [qq[mm_] - cc[mm_] for mm_ in range(3)]
+            disto = jnp.sqrt(sum(do[mm_] * do[mm_] for mm_ in range(3)))
+            invo = 1.0 / jnp.maximum(disto, 1e-9)
+            # inside: nearest face (first max, matching jnp.argmax)
+            is0 = (dout[0] >= dout[1]) & (dout[0] >= dout[2])
+            is1 = (~is0) & (dout[1] >= dout[2])
+            is2 = (~is0) & (~is1)
+            sel = [is0, is1, is2]
+            n_l = [jnp.where(outside, do[mm_] * invo,
+                             jnp.where(qq[mm_] >= 0, 1.0, -1.0)
+                             * sel[mm_].astype(dtype)) for mm_ in range(3)]
+            signed = jnp.where(outside, disto, mx)
+            n_bx = [sum(ax[mm_][i] * n_l[mm_] for mm_ in range(3))
+                    for i in range(3)]
+            pw_t = [aw[i] + t * (bw[i] - aw[i]) for i in range(3)]
+            cbw = [cbx[i] + sum(ax[mm_][i] * cc[mm_] for mm_ in range(3))
+                   for i in range(3)]
+            p_bx = [jnp.where(outside,
+                              0.5 * (cbw[i] + pw_t[i]
+                                     - C["bp_rseg"] * n_bx[i]),
+                              pw_t[i]) for i in range(3)]
+            phi_parts.append(C["bp_rseg"] - signed)
+            n_parts.append(n_bx)
+            p_parts.append(p_bx)
+        phi_pair = jnp.concatenate(phi_parts, axis=0)   # (PP,L)
+        n_pair = [jnp.concatenate([blk[i] for blk in n_parts], axis=0)
+                  for i in range(3)]
+        p_pair = [jnp.concatenate([blk[i] for blk in p_parts], axis=0)
+                  for i in range(3)]
+
+        cur = phi_pair
+        rows_p = jax.lax.broadcasted_iota(jnp.int32, (PP, L), 0)
+        pair_rows, pair_vn = [], []
+        for _kk in range(kp):
+            mx = jnp.max(cur, axis=0, keepdims=True)    # (1,L)
+            cand = jnp.where(cur >= mx, rows_p, PP)
+            first = jnp.min(cand, axis=0, keepdims=True)
+            onehot = (rows_p == first).astype(dtype)
+            phi_k = mx
+            n_k = [jnp.sum(onehot * n_pair[i], axis=0, keepdims=True)
+                   for i in range(3)]
+            p_k = [jnp.sum(onehot * p_pair[i], axis=0, keepdims=True)
+                   for i in range(3)]
+            sm = jnp.dot(C["pdmp"], onehot,
+                         preferred_element_type=dtype)  # (nd,L) signed
+            act = (phi_k > -st["margin"]).astype(dtype)
+            pxn = [p_k[1] * n_k[2] - p_k[2] * n_k[1],
+                   p_k[2] * n_k[0] - p_k[0] * n_k[2],
+                   p_k[0] * n_k[1] - p_k[1] * n_k[0]]
+            row = sum(s_lin[:, i, :] * n_k[i] for i in range(3)) \
+                + sum(s_ang[:, i, :] * pxn[i] for i in range(3))
+            pair_rows.append((row * (act * sm))[None])
+            pair_vn.append(jnp.minimum(
+                st["beta"] * jnp.maximum(phi_k - st["slop"], 0.0) / dt,
+                1.0) * act)
+            cur = cur - onehot * jnp.asarray(1e9, dtype)
+        jf = jnp.concatenate([jf] + pair_rows, axis=0)  # (3k+kp,nd,L)
+        target = jnp.concatenate([target] + pair_vn, axis=0)
     return mmat, bias, qfb, e, rhspd, jf, target, mu
 
 
@@ -464,15 +634,23 @@ def _lane_integrate(st, q, v_new, dtype):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
-                    ndc_ref, masks_ref, bodyc_ref, pdm_ref, cpc_ref,
-                    treem_ref, cppk_ref, oq_ref, ov_ref, a_s, a2_s, x_s,
-                    xpd_s, jf_s, tgt_s, mu_s,
-                    *, st, n_frames, iters, relax, dtype):
+def _substep_kernel(*refs, st, n_frames, iters, relax, dtype):
     nd = st["nd"]
     k = st["k"]
-    c3 = 3 * k
+    kp = st["kp"]
+    c3 = 3 * k + kp
     dt = st["dt"]                                      # python float (static)
+
+    (qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
+     ndc_ref, masks_ref, bodyc_ref, pdm_ref, cpc_ref,
+     treem_ref, cppk_ref) = refs[:13]
+    if kp:
+        prpk_ref, pdmp_ref, pairc_ref = refs[13:16]
+        rest = refs[16:]
+    else:
+        prpk_ref = pdmp_ref = pairc_ref = None
+        rest = refs[13:]
+    (oq_ref, ov_ref, a_s, a2_s, x_s, xpd_s, jf_s, tgt_s, mu_s) = rest
 
     zeros6 = jnp.zeros((6, LANES), dtype)
     jkp_full = jnp.concatenate([zeros6, jkp_ref[...][:, 0, :]], axis=0)
@@ -483,7 +661,10 @@ def _substep_kernel(qpos_ref, qvel_ref, ctrl_ref, jkp_ref, jkd_ref, tlim_ref,
     # constants -- everything arrives as a small 2D input block)
     C = _unpack_consts(st, ndc_ref[...], masks_ref[...], bodyc_ref[...],
                        pdm_ref[...], cpc_ref[...], treem_ref[...],
-                       cppk_ref[...])
+                       cppk_ref[...],
+                       None if prpk_ref is None else prpk_ref[...],
+                       None if pdmp_ref is None else pdmp_ref[...],
+                       None if pairc_ref is None else pairc_ref[...])
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 1)
     eq = r_iota == c_iota
@@ -622,14 +803,78 @@ def _packed_consts(st):
                   for j in range(3)], axis=0)            # (4*ncp, nb)
     return ndc, masks, bodyc, cpc, treem, cppk
 
+
+def _quat_to_mat_np(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _packed_pair_consts(st):
+    """Per-model constants for the self-collision pair candidates.
+
+    ``prpk`` ((4P+6Pb), 4nb): each row, matmul'd against the stacked
+    coordinate block X_i = [xpos_i; rot_i0; rot_i1; rot_i2] (4nb, L), yields
+    one world coordinate -- a point row [onehot_b | loc*onehot_b] gives
+    xpos[b]_i + (R_b loc)_i, a rotation-only row [0 | u*onehot_b] gives
+    (R_b u)_i.  Row blocks: seg-seg endpoints a1/b1/a2/b2 (4 x P), then box
+    center / box axes x3 / seg endpoints a/b (6 x Pb).
+
+    ``pairc`` (PP, 4): seg rows [rsum, rdiff, 0, 0]; box rows
+    [rseg, h0, h1, h2]."""
+    nb = st["nb"]
+    P, Pb = st["npair"], st["nbpair"]
+
+    def point_rows(bodies, locs):
+        n = len(bodies)
+        oh = np.zeros((n, nb))
+        oh[np.arange(n), list(bodies)] = 1.0
+        return np.concatenate(
+            [oh] + [oh * np.asarray(locs)[:, j:j + 1] for j in range(3)],
+            axis=1)                                       # (n, 4nb)
+
+    def rot_rows(bodies, vecs):
+        n = len(bodies)
+        oh = np.zeros((n, nb))
+        oh[np.arange(n), list(bodies)] = 1.0
+        return np.concatenate(
+            [np.zeros((n, nb))] + [oh * np.asarray(vecs)[:, j:j + 1]
+                                   for j in range(3)], axis=1)
+
+    blocks = []
+    if P:
+        blocks += [point_rows(st["pair_body1"], st["pair_a1"]),
+                   point_rows(st["pair_body1"], st["pair_b1"]),
+                   point_rows(st["pair_body2"], st["pair_a2"]),
+                   point_rows(st["pair_body2"], st["pair_b2"])]
+    if Pb:
+        blocks.append(point_rows(st["bpair_body_box"], st["bpair_boxpos"]))
+        rl = np.stack([_quat_to_mat_np(q) for q in st["bpair_boxquat"]])
+        for mcol in range(3):
+            blocks.append(rot_rows(st["bpair_body_box"], rl[:, :, mcol]))
+        blocks += [point_rows(st["bpair_body_seg"], st["bpair_a"]),
+                   point_rows(st["bpair_body_seg"], st["bpair_b"])]
+    prpk = np.concatenate(blocks, axis=0)                 # (4P+6Pb, 4nb)
+    pairc = np.zeros((P + Pb, 4))
+    if P:
+        pairc[:P, 0] = st["pair_rsum"]
+        pairc[:P, 1] = st["pair_rdiff"]
+    if Pb:
+        pairc[P:, 0] = st["bpair_rseg"]
+        pairc[P:, 1:4] = st["bpair_half"]
+    return prpk, pairc
+
 def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
                  interpret=False):
     """qpos (B,nq), qvel (B,nd), ctrl (B,nu), jkp/jkd/tlim (B,nu) ->
     (qpos', qvel') via the substep-resident kernel."""
     st = _build_static(m, params)
     nd, nq, k = st["nd"], st["nq"], st["k"]
+    kp = st["kp"]
     nu = nd - 6
-    c3 = 3 * k
+    c3 = 3 * k + kp
     bsz = qpos.shape[0]
     dtype = qpos.dtype
     pad = (-bsz) % LANES
@@ -651,16 +896,31 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
     bs3 = lambda d0, d1: pl.BlockSpec((d0, d1, LANES), lambda i: (0, 0, i))
     bsc = lambda d0, d1: pl.BlockSpec((d0, d1), lambda i: (0, 0))
 
+    in_specs = [bs2(nq), bs2(nd), bs2(nu), bs3(nu, 1), bs3(nu, 1),
+                bs3(nu, 1), bsc(nd, 8), bsc(nd, 2 * nd), bsc(st["nb"], 7),
+                bsc(nd, ncp), bsc(ncp, 2),
+                bsc(nd + 2 * st["nb"], nd + st["nb"]),
+                bsc(4 * ncp, st["nb"])]
+    inputs = [qpos.T, qvel.T, ctrl.T, col3(jkp), col3(jkd), col3(tlim),
+              jnp.asarray(ndc, dtype), jnp.asarray(masks, dtype),
+              jnp.asarray(bodyc, dtype), jnp.asarray(st["pdm"], dtype),
+              jnp.asarray(cpc, dtype), jnp.asarray(treem, dtype),
+              jnp.asarray(cppk, dtype)]
+    if kp:
+        prpk, pairc = _packed_pair_consts(st)
+        PP = st["npair"] + st["nbpair"]
+        in_specs += [bsc(prpk.shape[0], 4 * st["nb"]), bsc(nd, PP),
+                     bsc(PP, 4)]
+        inputs += [jnp.asarray(prpk, dtype),
+                   jnp.asarray(st["pdm_pair"], dtype),
+                   jnp.asarray(pairc, dtype)]
+
     out = pl.pallas_call(
         functools.partial(_substep_kernel, st=st, n_frames=n_frames,
                           iters=params.iters, relax=params.relax,
                           dtype=dtype),
         grid=(bp // LANES,),
-        in_specs=[bs2(nq), bs2(nd), bs2(nu), bs3(nu, 1), bs3(nu, 1),
-                  bs3(nu, 1), bsc(nd, 8), bsc(nd, 2 * nd), bsc(st["nb"], 7),
-                  bsc(nd, ncp), bsc(ncp, 2),
-                  bsc(nd + 2 * st["nb"], nd + st["nb"]),
-                  bsc(4 * ncp, st["nb"])],
+        in_specs=in_specs,
         out_specs=[bs2(nq), bs2(nd)],
         out_shape=[jax.ShapeDtypeStruct((nq, bp), dtype),
                    jax.ShapeDtypeStruct((nd, bp), dtype)],
@@ -680,11 +940,7 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(qpos.T, qvel.T, ctrl.T, col3(jkp), col3(jkd), col3(tlim),
-      jnp.asarray(ndc, dtype), jnp.asarray(masks, dtype),
-      jnp.asarray(bodyc, dtype), jnp.asarray(st["pdm"], dtype),
-      jnp.asarray(cpc, dtype), jnp.asarray(treem, dtype),
-      jnp.asarray(cppk, dtype))
+    )(*inputs)
     return out[0].T[:bsz], out[1].T[:bsz]
 
 

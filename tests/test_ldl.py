@@ -93,10 +93,12 @@ def test_ldl_substep_solve_chain(model):
     st = SP._build_static(model, params)
     assert st["sparse_ldl"] and len(st["anc_dofs"]) == 58
     ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
+    prpk, pairc = SP._packed_pair_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
                           jnp.asarray(cpc), jnp.asarray(treem),
-                          jnp.asarray(cppk))
+                          jnp.asarray(cppk), jnp.asarray(prpk),
+                          jnp.asarray(st["pdm_pair"]), jnp.asarray(pairc))
     zeros6 = jnp.zeros(6)
     jkd_full = jnp.broadcast_to(
         jnp.concatenate([zeros6, jkd])[:, None], (58, B))
@@ -170,10 +172,12 @@ def test_forward_only_contact_path_matches_full(model):
     params = E.DEFAULT_CONTACT._replace(sparse_ldl=True)
     st = SP._build_static(model, params)
     ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
+    prpk, pairc = SP._packed_pair_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
                           jnp.asarray(cpc), jnp.asarray(treem),
-                          jnp.asarray(cppk))
+                          jnp.asarray(cppk), jnp.asarray(prpk),
+                          jnp.asarray(st["pdm_pair"]), jnp.asarray(pairc))
     zeros6 = jnp.zeros(6)
     jkd_full = jnp.broadcast_to(
         jnp.concatenate([zeros6, jkd])[:, None], (58, B))
@@ -183,7 +187,7 @@ def test_forward_only_contact_path_matches_full(model):
         st, C, qpos.T, qvel.T, ctrl.T, jkp_full, jkd_full, jnp.float64)
 
     nd, dt, k = 58, st["dt"], st["k"]
-    c3 = 3 * k
+    c3 = int(jf.shape[0])            # 3k friction rows + kp pair rows
     anc, segs = st["anc_dofs"], st["anc_segs"]
     iters, relax = params.iters, params.relax
 
@@ -232,11 +236,12 @@ def test_forward_only_contact_path_matches_full(model):
         for _ in range(iters):
             g = g_ref @ lam_ref + bhat
             lam_ref = lam_ref - relax * g / diag
-            ln = np.maximum(lam_ref[2 * k:], 0.0)
+            ln = np.maximum(lam_ref[2 * k:3 * k], 0.0)
             lim = np.asarray(mu[:, lane]) * ln
             lam_ref = np.concatenate([
                 np.clip(lam_ref[:k], -lim, lim),
-                np.clip(lam_ref[k:2 * k], -lim, lim), ln])
+                np.clip(lam_ref[k:2 * k], -lim, lim), ln,
+                np.maximum(lam_ref[3 * k:], 0.0)])
         v_ref = vp + w_ref @ lam_ref
         np.testing.assert_allclose(v_new[:, lane], v_ref,
                                    rtol=1e-7, atol=1e-9)
@@ -266,10 +271,12 @@ def test_compressed_prep_matches_dense_mmat(model):
 
     st = SP._build_static(model, E.DEFAULT_CONTACT._replace(sparse_ldl=True))
     ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
+    prpk, pairc = SP._packed_pair_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc), jnp.asarray(st["pdm"]),
                           jnp.asarray(cpc), jnp.asarray(treem),
-                          jnp.asarray(cppk))
+                          jnp.asarray(cppk), jnp.asarray(prpk),
+                          jnp.asarray(st["pdm_pair"]), jnp.asarray(pairc))
     jkd_full = jnp.broadcast_to(
         jnp.concatenate([jnp.zeros(6), jkd])[:, None], (58, B))
     jkp_full = jnp.broadcast_to(
@@ -289,6 +296,8 @@ def test_compressed_prep_matches_dense_mmat(model):
             np.testing.assert_array_equal(np.asarray(mrows[d]), ref,
                                           err_msg=f"row {d}")
     # support segments: exactly the dofs with any contact-candidate mass
+    # (floor points or self-collision pairs)
     sup = sorted({d for (a, b) in st["sup_segs"] for d in range(a, b)})
-    pdm = np.asarray(st["pdm"])
+    pdm = np.concatenate([np.asarray(st["pdm"]),
+                          np.abs(np.asarray(st["pdm_pair"]))], axis=1)
     assert sup == sorted(np.where(pdm.sum(1) > 0)[0].tolist())

@@ -52,10 +52,13 @@ def test_lane_prep_matches_engine():
     jkp, jkd, _tl = _gains()
     st = SP._build_static(model, E.DEFAULT_CONTACT)
     ndc, masks, bodyc, cpc, treem, cppk = SP._packed_consts(st)
+    prpk, pairc = SP._packed_pair_consts(st)
     C = SP._unpack_consts(st, jnp.asarray(ndc), jnp.asarray(masks),
                           jnp.asarray(bodyc),
                           jnp.asarray(st["pdm"]), jnp.asarray(cpc),
-                          jnp.asarray(treem), jnp.asarray(cppk))
+                          jnp.asarray(treem), jnp.asarray(cppk),
+                          jnp.asarray(prpk), jnp.asarray(st["pdm_pair"]),
+                          jnp.asarray(pairc))
     zeros6 = jnp.zeros(6)
     jkp_full = jnp.concatenate([zeros6, jkp])[:, None]
     jkd_full = jnp.concatenate([zeros6, jkd])[:, None]
