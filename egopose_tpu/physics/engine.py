@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops import quat as Q
 from .linalg_pallas import (make_fused_contact_solve, make_pd_fused_step,
                             spd_solve)
-from .model import PhysicsModel
+from .model import PhysicsModel, TERNARY_ITERS
 import functools
 
 
@@ -392,10 +392,11 @@ def pair_candidates(m: PhysicsModel, kin: Kin):
             return jnp.where(mx > 0, jnp.sqrt(jnp.sum(do * do, -1)), mx)
 
         # signed point-box distance composed with an affine map is convex in
-        # t: fixed ternary search (interval shrinks (2/3)^16 ~ 1.5e-3)
+        # t: fixed ternary search (model.TERNARY_ITERS, shared with the
+        # resident kernel)
         lo = jnp.zeros_like(m.bpair_rseg)
         hi = jnp.ones_like(lo)
-        for _ in range(16):
+        for _ in range(TERNARY_ITERS):
             m1 = lo + (hi - lo) / 3.0
             m2 = hi - (hi - lo) / 3.0
             take = sdist(m1) < sdist(m2)

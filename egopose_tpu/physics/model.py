@@ -17,6 +17,15 @@ import numpy as np
 
 from .spec import ModelSpec, parse_mjcf
 
+# segment-box narrowphase: fixed ternary-search iteration count, shared by
+# the split path (engine.pair_candidates) and the resident kernel
+# (substep_pallas._pair_narrowphase) so both produce identical contacts.
+# Interval shrinks (2/3)^n: 10 iters ~ 1.7% of the segment length, which
+# bounds the *depth* error quadratically (the minimized signed distance is
+# locally convex in t) -- the crossed-thighs/arms-folded goldens track
+# MuJoCo C identically for n in [10, 16].
+TERNARY_ITERS = 10
+
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["body_pos", "body_mass", "body_ipos", "body_inertia",
@@ -38,7 +47,7 @@ from .spec import ModelSpec, parse_mjcf
                       "level_axis", "level_anchor", "level_qpos_idx",
                       "level_dof_idx"],
          meta_fields=["nbody", "ndof", "nq", "nu", "ngeom", "ncpoint",
-                      "npair", "nbpair",
+                      "npair", "nbpair", "pair_blocks", "bpair_blocks",
                       "parent", "dof_body", "dof_jnt_index", "geom_body",
                       "geom_type", "actuator_dof", "jnt_limited"])
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +61,9 @@ class PhysicsModel:
     ncpoint: int
     npair: int               # sphere/capsule body-body collision pairs
     nbpair: int              # segment-box body-body collision pairs
+    pair_blocks: tuple       # ((start,end),...) selection blocks over the
+                             # class-sorted seg-seg pairs (_pair_blocks_np)
+    bpair_blocks: tuple      # same over the seg-box pairs
     parent: tuple            # (nb,)
     dof_body: tuple          # (nd,)
     dof_jnt_index: tuple     # (nd,) index of hinge within its body (0..2), -1 for free dofs
@@ -183,6 +195,60 @@ def _geom_segment_np(spec: ModelSpec, g: int):
     return None
 
 
+def _limb_regions(spec: ModelSpec) -> np.ndarray:
+    """Anatomical region label per body, from topology alone: a body's
+    region root is its highest ancestor whose parent is the root or a
+    branching body (>=2 children).  On the EgoPose humanoid this yields
+    {Hips}, {Spine..Spine3}, {Neck,Head}, the two arm chains and the two
+    leg chains -- the natural co-activation groups for contact-pair
+    selection (two simultaneous self-contacts almost always involve
+    different region pairs)."""
+    nb = spec.nbody
+    nchild = np.zeros(nb, dtype=int)
+    for b in range(1, nb):
+        nchild[spec.parent[b]] += 1
+    region = np.zeros(nb, dtype=np.int64)
+    for b in range(1, nb):
+        a = b
+        while spec.parent[a] != 0 and nchild[spec.parent[a]] < 2:
+            a = spec.parent[a]
+        region[b] = a
+    # relabel to dense 0..R-1 (root keeps its own region)
+    uniq = {r: i for i, r in enumerate(sorted(set(region.tolist())))}
+    return np.array([uniq[r] for r in region.tolist()])
+
+
+PAIR_BLOCK_MAX = 16  # max pairs per selection block (runs longer than this
+                     # split; keeps per-block reductions 1-2 sublane tiles)
+
+
+def _pair_blocks_np(classes) -> tuple:
+    """Contiguous (start, end) selection blocks over a CLASS-SORTED pair
+    list: one block per run of equal class ids, long runs split at
+    PAIR_BLOCK_MAX.  Used by the two-stage (block argmax -> top-KP over
+    block winners) contact-pair selection in engine.contact_blocks and the
+    resident kernel."""
+    blocks = []
+    i, n = 0, len(classes)
+    while i < n:
+        j = i
+        while j < n and classes[j] == classes[i]:
+            j += 1
+        for a in range(i, j, PAIR_BLOCK_MAX):
+            blocks.append((a, min(a + PAIR_BLOCK_MAX, j)))
+        i = j
+    # merge small adjacent blocks (class-sorted order keeps merged classes
+    # anatomically similar); bounds block count without losing granularity
+    # on the big classes
+    merged = []
+    for a, b in blocks:
+        if merged and (b - merged[-1][0]) <= PAIR_BLOCK_MAX // 2:
+            merged[-1] = (merged[-1][0], b)
+        else:
+            merged.append((a, b))
+    return tuple(merged)
+
+
 def _collision_pairs_np(spec: ModelSpec):
     """Enumerate body-body geom pairs using MuJoCo's collision filter
     (mj_collision semantics): different bodies, bodies not parent-child,
@@ -202,6 +268,7 @@ def _collision_pairs_np(spec: ModelSpec):
     segseg = []
     segbox = []
     segtypes = (GEOM_SPHERE, GEOM_CAPSULE)
+    region = _limb_regions(spec)
     for g1 in range(spec.ngeom):
         for g2 in range(g1 + 1, spec.ngeom):
             b1, b2 = int(spec.geom_body[g1]), int(spec.geom_body[g2])
@@ -225,7 +292,15 @@ def _collision_pairs_np(spec: ModelSpec):
                 segbox.append((bs, bb, a, e, r, spec.geom_pos[gb],
                                spec.geom_quat[gb], spec.geom_size[gb]))
             # box-box / plane pairs: none in the model family, skipped
-    return segseg, segbox
+    # sort by anatomical region-pair class so selection blocks are
+    # contiguous runs (_pair_blocks_np); stable within a class
+    klass = lambda p: (min(region[p[0]], region[p[1]]),
+                       max(region[p[0]], region[p[1]]))
+    segseg.sort(key=klass)
+    segbox.sort(key=klass)
+    return (segseg, segbox,
+            _pair_blocks_np([klass(p) for p in segseg]),
+            _pair_blocks_np([klass(p) for p in segbox]))
 
 
 def build_model(spec: ModelSpec, dtype=jnp.float32) -> PhysicsModel:
@@ -264,7 +339,7 @@ def build_model(spec: ModelSpec, dtype=jnp.float32) -> PhysicsModel:
     point_dof = body_anc[cp_body][:, spec.dof_body].T   # (nd,K)
 
     # ---- body-body collision pairs ---------------------------------------
-    segseg, segbox = _collision_pairs_np(spec)
+    segseg, segbox, pair_blocks, bpair_blocks = _collision_pairs_np(spec)
     body_dof_f = body_anc[:, spec.dof_body].astype(np.float64)  # (nb,nd)
     npair, nbpair = len(segseg), len(segbox)
     p_b1 = np.array([p[0] for p in segseg], dtype=np.int32)
@@ -324,6 +399,7 @@ def build_model(spec: ModelSpec, dtype=jnp.float32) -> PhysicsModel:
         nbody=spec.nbody, ndof=spec.ndof, nq=spec.nq, nu=spec.nu,
         ngeom=spec.ngeom, ncpoint=len(cp_body),
         npair=npair, nbpair=nbpair,
+        pair_blocks=pair_blocks, bpair_blocks=bpair_blocks,
         parent=tuple(int(x) for x in spec.parent),
         dof_body=tuple(int(x) for x in spec.dof_body),
         dof_jnt_index=tuple(int(x) for x in dof_jnt_index),

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fk_pallas import _build_topo, _fk_compute_lvl
+from .model import TERNARY_ITERS
 from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_fsolve,
                          ldl_solve, ldl_tsolve)
 from .linalg_pallas import (LANES, _contact_sweep, _contact_sweep_sym,
@@ -466,139 +467,158 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     # one frictionless normal row per selected pair (top-kp by depth)
     kp = st["kp"]
     if kp:
-        P, Pb = st["npair"], st["nbpair"]
-        PP = P + Pb
-        eps = 1e-12
-        # world coordinates of all pair points: one (4P+6Pb, 4nb) matmul per
-        # coordinate against the stacked [xpos_i; rot_i0; rot_i1; rot_i2]
-        W = [dot(C["prpk"],
-                 jnp.concatenate([xpos[:, i, :]] + [rot[i][j]
-                                                    for j in range(3)],
-                                 axis=0)) for i in range(3)]  # 3 x (rows,L)
-        phi_parts, n_parts, p_parts = [], [], []
-        if P:
-            a1 = [W[i][0:P] for i in range(3)]
-            b1 = [W[i][P:2 * P] for i in range(3)]
-            a2 = [W[i][2 * P:3 * P] for i in range(3)]
-            b2 = [W[i][3 * P:4 * P] for i in range(3)]
-            d1 = [b1[i] - a1[i] for i in range(3)]
-            d2 = [b2[i] - a2[i] for i in range(3)]
-            rr = [a1[i] - a2[i] for i in range(3)]
-            A = sum(d1[i] * d1[i] for i in range(3))
-            E = sum(d2[i] * d2[i] for i in range(3))
-            B = sum(d1[i] * d2[i] for i in range(3))
-            Cc = sum(d1[i] * rr[i] for i in range(3))
-            F = sum(d2[i] * rr[i] for i in range(3))
-            denom = A * E - B * B
-            s = jnp.clip((B * F - Cc * E) / jnp.maximum(denom, eps), 0., 1.)
-            t = jnp.clip((B * s + F) / jnp.maximum(E, eps), 0., 1.)
-            s = jnp.clip((B * t - Cc) / jnp.maximum(A, eps), 0., 1.)
-            c1 = [a1[i] + s * d1[i] for i in range(3)]
-            c2 = [a2[i] + t * d2[i] for i in range(3)]
-            df = [c1[i] - c2[i] for i in range(3)]
-            dist = jnp.sqrt(sum(df[i] * df[i] for i in range(3)))
-            inv = 1.0 / jnp.maximum(dist, 1e-9)
-            n_ss = [df[i] * inv for i in range(3)]
-            phi_parts.append(C["pr_rsum"] - dist)
-            p_parts.append([0.5 * (c1[i] + c2[i])
-                            - 0.5 * C["pr_rdiff"] * n_ss[i]
-                            for i in range(3)])
-            n_parts.append(n_ss)
-        if Pb:
-            o = 4 * P
-            cbx = [W[i][o:o + Pb] for i in range(3)]
-            ax = [[W[i][o + Pb * (1 + mm_):o + Pb * (2 + mm_)]
-                   for i in range(3)] for mm_ in range(3)]  # ax[m][i]
-            aw = [W[i][o + 4 * Pb:o + 5 * Pb] for i in range(3)]
-            bw = [W[i][o + 5 * Pb:o + 6 * Pb] for i in range(3)]
-            h = [C["bp_half"][:, j:j + 1] for j in range(3)]
-            al = [sum(ax[mm_][i] * (aw[i] - cbx[i]) for i in range(3))
-                  for mm_ in range(3)]
-            bl = [sum(ax[mm_][i] * (bw[i] - cbx[i]) for i in range(3))
-                  for mm_ in range(3)]
-
-            def sdist(t):
-                qq = [al[mm_] + t * (bl[mm_] - al[mm_]) for mm_ in range(3)]
-                dout = [jnp.abs(qq[mm_]) - h[mm_] for mm_ in range(3)]
-                mx = jnp.maximum(jnp.maximum(dout[0], dout[1]), dout[2])
-                do = [qq[mm_] - jnp.clip(qq[mm_], -h[mm_], h[mm_])
-                      for mm_ in range(3)]
-                disto = jnp.sqrt(sum(do[mm_] * do[mm_] for mm_ in range(3)))
-                return jnp.where(mx > 0, disto, mx)
-
-            lo = jnp.zeros((Pb, L), dtype)
-            hi = jnp.ones((Pb, L), dtype)
-            for _ in range(16):
-                m1 = lo + (hi - lo) / 3.0
-                m2 = hi - (hi - lo) / 3.0
-                take = sdist(m1) < sdist(m2)
-                hi = jnp.where(take, m2, hi)
-                lo = jnp.where(take, lo, m1)
-            t = 0.5 * (lo + hi)
-            qq = [al[mm_] + t * (bl[mm_] - al[mm_]) for mm_ in range(3)]
-            dout = [jnp.abs(qq[mm_]) - h[mm_] for mm_ in range(3)]
-            mx = jnp.maximum(jnp.maximum(dout[0], dout[1]), dout[2])
-            outside = mx > 0
-            cc = [jnp.clip(qq[mm_], -h[mm_], h[mm_]) for mm_ in range(3)]
-            do = [qq[mm_] - cc[mm_] for mm_ in range(3)]
-            disto = jnp.sqrt(sum(do[mm_] * do[mm_] for mm_ in range(3)))
-            invo = 1.0 / jnp.maximum(disto, 1e-9)
-            # inside: nearest face (first max, matching jnp.argmax)
-            is0 = (dout[0] >= dout[1]) & (dout[0] >= dout[2])
-            is1 = (~is0) & (dout[1] >= dout[2])
-            is2 = (~is0) & (~is1)
-            sel = [is0, is1, is2]
-            n_l = [jnp.where(outside, do[mm_] * invo,
-                             jnp.where(qq[mm_] >= 0, 1.0, -1.0)
-                             * sel[mm_].astype(dtype)) for mm_ in range(3)]
-            signed = jnp.where(outside, disto, mx)
-            n_bx = [sum(ax[mm_][i] * n_l[mm_] for mm_ in range(3))
-                    for i in range(3)]
-            pw_t = [aw[i] + t * (bw[i] - aw[i]) for i in range(3)]
-            cbw = [cbx[i] + sum(ax[mm_][i] * cc[mm_] for mm_ in range(3))
-                   for i in range(3)]
-            p_bx = [jnp.where(outside,
-                              0.5 * (cbw[i] + pw_t[i]
-                                     - C["bp_rseg"] * n_bx[i]),
-                              pw_t[i]) for i in range(3)]
-            phi_parts.append(C["bp_rseg"] - signed)
-            n_parts.append(n_bx)
-            p_parts.append(p_bx)
-        phi_pair = jnp.concatenate(phi_parts, axis=0)   # (PP,L)
-        n_pair = [jnp.concatenate([blk[i] for blk in n_parts], axis=0)
-                  for i in range(3)]
-        p_pair = [jnp.concatenate([blk[i] for blk in p_parts], axis=0)
-                  for i in range(3)]
-
-        cur = phi_pair
-        rows_p = jax.lax.broadcasted_iota(jnp.int32, (PP, L), 0)
-        pair_rows, pair_vn = [], []
-        for _kk in range(kp):
-            mx = jnp.max(cur, axis=0, keepdims=True)    # (1,L)
-            cand = jnp.where(cur >= mx, rows_p, PP)
-            first = jnp.min(cand, axis=0, keepdims=True)
-            onehot = (rows_p == first).astype(dtype)
-            phi_k = mx
-            n_k = [jnp.sum(onehot * n_pair[i], axis=0, keepdims=True)
-                   for i in range(3)]
-            p_k = [jnp.sum(onehot * p_pair[i], axis=0, keepdims=True)
-                   for i in range(3)]
-            sm = jnp.dot(C["pdmp"], onehot,
-                         preferred_element_type=dtype)  # (nd,L) signed
-            act = (phi_k > -st["margin"]).astype(dtype)
-            pxn = [p_k[1] * n_k[2] - p_k[2] * n_k[1],
-                   p_k[2] * n_k[0] - p_k[0] * n_k[2],
-                   p_k[0] * n_k[1] - p_k[1] * n_k[0]]
-            row = sum(s_lin[:, i, :] * n_k[i] for i in range(3)) \
-                + sum(s_ang[:, i, :] * pxn[i] for i in range(3))
-            pair_rows.append((row * (act * sm))[None])
-            pair_vn.append(jnp.minimum(
-                st["beta"] * jnp.maximum(phi_k - st["slop"], 0.0) / dt,
-                1.0) * act)
-            cur = cur - onehot * jnp.asarray(1e9, dtype)
+        phi_pair, n_pair, p_pair = _pair_narrowphase(st, C, xpos, rot,
+                                                     dot, dtype)
+        pair_rows, pair_vn = _pair_select(st, C, s_lin, s_ang, phi_pair,
+                                          n_pair, p_pair, dt, dtype)
         jf = jnp.concatenate([jf] + pair_rows, axis=0)  # (3k+kp,nd,L)
         target = jnp.concatenate([target] + pair_vn, axis=0)
     return mmat, bias, qfb, e, rhspd, jf, target, mu
+
+
+def _pair_narrowphase(st, C, xpos, rot, dot, dtype):
+    """Depth/normal/contact-point of every static collision pair:
+    phi (PP,L), n [3 x (PP,L)], p [3 x (PP,L)] (engine.pair_candidates'
+    per-state half, lane-major)."""
+    L = xpos.shape[-1]
+    P, Pb = st["npair"], st["nbpair"]
+    eps = 1e-12
+    # world coordinates of all pair points: one (4P+6Pb, 4nb) matmul per
+    # coordinate against the stacked [xpos_i; rot_i0; rot_i1; rot_i2]
+    W = [dot(C["prpk"],
+             jnp.concatenate([xpos[:, i, :]] + [rot[i][j]
+                                                for j in range(3)],
+                             axis=0)) for i in range(3)]  # 3 x (rows,L)
+    phi_parts, n_parts, p_parts = [], [], []
+    if P:
+        a1 = [W[i][0:P] for i in range(3)]
+        b1 = [W[i][P:2 * P] for i in range(3)]
+        a2 = [W[i][2 * P:3 * P] for i in range(3)]
+        b2 = [W[i][3 * P:4 * P] for i in range(3)]
+        d1 = [b1[i] - a1[i] for i in range(3)]
+        d2 = [b2[i] - a2[i] for i in range(3)]
+        rr = [a1[i] - a2[i] for i in range(3)]
+        A = sum(d1[i] * d1[i] for i in range(3))
+        E = sum(d2[i] * d2[i] for i in range(3))
+        B = sum(d1[i] * d2[i] for i in range(3))
+        Cc = sum(d1[i] * rr[i] for i in range(3))
+        F = sum(d2[i] * rr[i] for i in range(3))
+        denom = A * E - B * B
+        s = jnp.clip((B * F - Cc * E) / jnp.maximum(denom, eps), 0., 1.)
+        t = jnp.clip((B * s + F) / jnp.maximum(E, eps), 0., 1.)
+        s = jnp.clip((B * t - Cc) / jnp.maximum(A, eps), 0., 1.)
+        c1 = [a1[i] + s * d1[i] for i in range(3)]
+        c2 = [a2[i] + t * d2[i] for i in range(3)]
+        df = [c1[i] - c2[i] for i in range(3)]
+        dist = jnp.sqrt(sum(df[i] * df[i] for i in range(3)))
+        inv = 1.0 / jnp.maximum(dist, 1e-9)
+        n_ss = [df[i] * inv for i in range(3)]
+        phi_parts.append(C["pr_rsum"] - dist)
+        p_parts.append([0.5 * (c1[i] + c2[i])
+                        - 0.5 * C["pr_rdiff"] * n_ss[i]
+                        for i in range(3)])
+        n_parts.append(n_ss)
+    if Pb:
+        o = 4 * P
+        cbx = [W[i][o:o + Pb] for i in range(3)]
+        ax = [[W[i][o + Pb * (1 + mm_):o + Pb * (2 + mm_)]
+               for i in range(3)] for mm_ in range(3)]  # ax[m][i]
+        aw = [W[i][o + 4 * Pb:o + 5 * Pb] for i in range(3)]
+        bw = [W[i][o + 5 * Pb:o + 6 * Pb] for i in range(3)]
+        h = [C["bp_half"][:, j:j + 1] for j in range(3)]
+        al = [sum(ax[mm_][i] * (aw[i] - cbx[i]) for i in range(3))
+              for mm_ in range(3)]
+        bl = [sum(ax[mm_][i] * (bw[i] - cbx[i]) for i in range(3))
+              for mm_ in range(3)]
+
+        def sdist(t):
+            qq = [al[mm_] + t * (bl[mm_] - al[mm_]) for mm_ in range(3)]
+            dout = [jnp.abs(qq[mm_]) - h[mm_] for mm_ in range(3)]
+            mx = jnp.maximum(jnp.maximum(dout[0], dout[1]), dout[2])
+            do = [qq[mm_] - jnp.clip(qq[mm_], -h[mm_], h[mm_])
+                  for mm_ in range(3)]
+            disto = jnp.sqrt(sum(do[mm_] * do[mm_] for mm_ in range(3)))
+            return jnp.where(mx > 0, disto, mx)
+
+        lo = jnp.zeros((Pb, L), dtype)
+        hi = jnp.ones((Pb, L), dtype)
+        for _ in range(TERNARY_ITERS):
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            take = sdist(m1) < sdist(m2)
+            hi = jnp.where(take, m2, hi)
+            lo = jnp.where(take, lo, m1)
+        t = 0.5 * (lo + hi)
+        qq = [al[mm_] + t * (bl[mm_] - al[mm_]) for mm_ in range(3)]
+        dout = [jnp.abs(qq[mm_]) - h[mm_] for mm_ in range(3)]
+        mx = jnp.maximum(jnp.maximum(dout[0], dout[1]), dout[2])
+        outside = mx > 0
+        cc = [jnp.clip(qq[mm_], -h[mm_], h[mm_]) for mm_ in range(3)]
+        do = [qq[mm_] - cc[mm_] for mm_ in range(3)]
+        disto = jnp.sqrt(sum(do[mm_] * do[mm_] for mm_ in range(3)))
+        invo = 1.0 / jnp.maximum(disto, 1e-9)
+        # inside: nearest face (first max, matching jnp.argmax)
+        is0 = (dout[0] >= dout[1]) & (dout[0] >= dout[2])
+        is1 = (~is0) & (dout[1] >= dout[2])
+        is2 = (~is0) & (~is1)
+        sel = [is0, is1, is2]
+        n_l = [jnp.where(outside, do[mm_] * invo,
+                         jnp.where(qq[mm_] >= 0, 1.0, -1.0)
+                         * sel[mm_].astype(dtype)) for mm_ in range(3)]
+        signed = jnp.where(outside, disto, mx)
+        n_bx = [sum(ax[mm_][i] * n_l[mm_] for mm_ in range(3))
+                for i in range(3)]
+        pw_t = [aw[i] + t * (bw[i] - aw[i]) for i in range(3)]
+        cbw = [cbx[i] + sum(ax[mm_][i] * cc[mm_] for mm_ in range(3))
+               for i in range(3)]
+        p_bx = [jnp.where(outside,
+                          0.5 * (cbw[i] + pw_t[i]
+                                 - C["bp_rseg"] * n_bx[i]),
+                          pw_t[i]) for i in range(3)]
+        phi_parts.append(C["bp_rseg"] - signed)
+        n_parts.append(n_bx)
+        p_parts.append(p_bx)
+    phi_pair = jnp.concatenate(phi_parts, axis=0)       # (PP,L)
+    n_pair = [jnp.concatenate([blk[i] for blk in n_parts], axis=0)
+              for i in range(3)]
+    p_pair = [jnp.concatenate([blk[i] for blk in p_parts], axis=0)
+              for i in range(3)]
+    return phi_pair, n_pair, p_pair
+
+
+def _pair_select(st, C, s_lin, s_ang, phi_pair, n_pair, p_pair, dt, dtype):
+    """Top-kp-by-depth pair selection and Jacobian row construction:
+    kp frictionless normal rows (1,nd,L) + velocity targets (1,L)."""
+    kp = st["kp"]
+    PP = st["npair"] + st["nbpair"]
+    L = phi_pair.shape[-1]
+    cur = phi_pair
+    rows_p = jax.lax.broadcasted_iota(jnp.int32, (PP, L), 0)
+    pair_rows, pair_vn = [], []
+    for _kk in range(kp):
+        mx = jnp.max(cur, axis=0, keepdims=True)        # (1,L)
+        cand = jnp.where(cur >= mx, rows_p, PP)
+        first = jnp.min(cand, axis=0, keepdims=True)
+        onehot = (rows_p == first).astype(dtype)
+        phi_k = mx
+        n_k = [jnp.sum(onehot * n_pair[i], axis=0, keepdims=True)
+               for i in range(3)]
+        p_k = [jnp.sum(onehot * p_pair[i], axis=0, keepdims=True)
+               for i in range(3)]
+        sm = jnp.dot(C["pdmp"], onehot,
+                     preferred_element_type=dtype)      # (nd,L) signed
+        act = (phi_k > -st["margin"]).astype(dtype)
+        pxn = [p_k[1] * n_k[2] - p_k[2] * n_k[1],
+               p_k[2] * n_k[0] - p_k[0] * n_k[2],
+               p_k[0] * n_k[1] - p_k[1] * n_k[0]]
+        row = sum(s_lin[:, i, :] * n_k[i] for i in range(3)) \
+            + sum(s_ang[:, i, :] * pxn[i] for i in range(3))
+        pair_rows.append((row * (act * sm))[None])
+        pair_vn.append(jnp.minimum(
+            st["beta"] * jnp.maximum(phi_k - st["slop"], 0.0) / dt,
+            1.0) * act)
+        cur = cur - onehot * jnp.asarray(1e9, dtype)
+    return pair_rows, pair_vn
 
 
 def _lane_integrate(st, q, v_new, dtype):
