@@ -131,18 +131,23 @@ def trpo_step(policy_params, policy_in_fn: Callable, states, actions,
 
 
 def update_value_lbfgs(value_loss_fn, params):
-    """Critic fit via scipy L-BFGS on host (agent_trpo.py:61-70 equivalent)."""
+    """Critic fit via scipy L-BFGS on host (agent_trpo.py:61-70 equivalent).
+
+    The loss/grad evaluation runs in the params' native dtype (one jitted
+    function, one trace); float64 appears only at the scipy boundary, which
+    requires it for its internal line search (ADVICE r2: no f64 flat fed
+    into f32 params)."""
     from scipy.optimize import fmin_l_bfgs_b
     import numpy as np
 
+    dtype = _flat(params).dtype
     flat0 = np.asarray(_flat(params), dtype=np.float64)
     grad_fn = jax.jit(jax.value_and_grad(
         lambda f: value_loss_fn(_unflat(f, params))))
 
     def f(flat):
-        v, g = grad_fn(jnp.asarray(flat, jnp.float64)
-                       if flat0.dtype == np.float64 else jnp.asarray(flat))
+        v, g = grad_fn(jnp.asarray(flat, dtype))
         return float(v), np.asarray(_flat(g), np.float64)
 
     xf, _, _ = fmin_l_bfgs_b(f, flat0, maxiter=25)
-    return _unflat(jnp.asarray(xf, _flat(params).dtype), params)
+    return _unflat(jnp.asarray(xf, dtype), params)

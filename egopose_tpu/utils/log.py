@@ -30,6 +30,28 @@ def create_logger(filename=None, file_handle=True):
     return logger
 
 
+def to_uint8_image(img, scale=None):
+    """Convert an image array to uint8 for summary encoding.  uint8 passes
+    through; floats are mapped by ``scale``: "unit" ([0,1] x 255, the
+    default) or "byte" ([0,255] clipped).  The scale is a fixed convention,
+    never inferred from the data (ADVICE r2: a data-max heuristic brightens
+    a near-black byte-range frame 255x)."""
+    import numpy as np
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    img = np.nan_to_num(np.asarray(img, np.float64))
+    if scale is None:
+        scale = "unit"
+    if scale == "byte":
+        img = np.clip(img, 0.0, 255.0)
+    elif scale == "unit":
+        img = np.clip(img, 0.0, 1.0) * 255.0
+    else:
+        raise ValueError(f"unknown image scale {scale!r} (unit|byte|None)")
+    return img.astype(np.uint8)
+
+
 class ScalarWriter:
     """Scalar summaries: tensorboard event file if available, else JSONL."""
 
@@ -60,25 +82,13 @@ class ScalarWriter:
         """Image summary (reference utils/tb_logger.py:44-67): ``img`` is an
         (H,W,3) uint8 array, or float with ``scale`` naming the authored
         range -- "unit" ([0,1], multiplied by 255) or "byte" ([0,255],
-        clipped).  With ``scale=None`` the range is inferred from the data
-        max, which misreads an all-dark [0,255]-scale frame as unit-scaled;
-        pass the scale explicitly when the content may be near-black.
-        Values are clipped either way so out-of-range floats cannot wrap in
-        the uint8 cast.  JSONL fallback records shape only."""
-        import numpy as np
-        img = np.asarray(img)
-        if img.dtype != np.uint8:
-            img = np.nan_to_num(np.asarray(img, np.float64))
-            if scale is None:
-                scale = "byte" if img.size and img.max() > 1.0 else "unit"
-            if scale == "byte":
-                img = np.clip(img, 0.0, 255.0)
-            elif scale == "unit":
-                img = np.clip(img, 0.0, 1.0) * 255.0
-            else:
-                raise ValueError(f"unknown image scale {scale!r} "
-                                 "(unit|byte|None)")
-            img = img.astype(np.uint8)
+        clipped).  ``scale=None`` means "unit": float images are taken to be
+        [0,1] by fixed convention, never inferred from the data max (a
+        data-max heuristic brightens a near-black [0,255]-scale frame 255x;
+        ADVICE r2).  Pass ``scale="byte"`` for [0,255] floats.  Values are
+        clipped either way so out-of-range floats cannot wrap in the uint8
+        cast.  JSONL fallback records shape only."""
+        img = to_uint8_image(img, scale)
         if self._tb is not None:
             import io
             from PIL import Image

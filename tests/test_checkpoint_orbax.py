@@ -84,3 +84,22 @@ def test_scalar_writer_image_and_histogram(tmp_path):
     # event file must be non-empty after three summaries
     sizes = [os.path.getsize(os.path.join(tmp_path, f)) for f in files]
     assert max(sizes) > 100
+
+
+def test_image_scale_is_a_fixed_convention():
+    """ADVICE r2: float image range must come from the caller, never from
+    the data max -- a near-black [0,255]-scale frame must stay dark."""
+    from egopose_tpu.utils.log import to_uint8_image
+    dark_byte = np.full((4, 4, 3), 0.8)            # near-black, byte scale
+    out = to_uint8_image(dark_byte, scale="byte")
+    assert out.max() <= 1                          # NOT brightened 255x
+    # default (None) is unit scale by convention
+    unit = np.full((4, 4, 3), 0.5)
+    assert to_uint8_image(unit).max() == 127
+    assert to_uint8_image(unit, scale=None).max() == 127
+    # uint8 passes through untouched; unknown scale rejected
+    b = (np.ones((2, 2, 3)) * 7).astype(np.uint8)
+    assert to_uint8_image(b, scale="byte") is b
+    import pytest
+    with pytest.raises(ValueError):
+        to_uint8_image(unit, scale="bogus")

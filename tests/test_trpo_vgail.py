@@ -73,3 +73,26 @@ def test_vgail_discriminator_learns_separation():
     r_gen = vgail.gail_reward(disc, state, vs_apply, windows, gen_states)
     r_exp = vgail.gail_reward(disc, state, vs_apply, windows, expert_obs)
     assert float(r_exp.mean()) > float(r_gen.mean())
+
+
+def test_update_value_lbfgs_converges_and_keeps_dtype():
+    """ADVICE r2: the host L-BFGS critic fit must evaluate loss/grad in the
+    params' native dtype (f64 only at the scipy boundary) and still
+    converge on a smooth problem."""
+    from egopose_tpu.rl.trpo import update_value_lbfgs
+    rng = np.random.RandomState(3)
+    target = {"w": jnp.asarray(rng.randn(6, 4), jnp.float32),
+              "b": jnp.asarray(rng.randn(4), jnp.float32)}
+    params = {"w": jnp.zeros((6, 4), jnp.float32),
+              "b": jnp.zeros(4, jnp.float32)}
+
+    def loss(p):
+        return sum(jnp.sum((p[k] - target[k]) ** 2) for k in p)
+
+    fitted = update_value_lbfgs(loss, params)
+    assert fitted["w"].dtype == jnp.float32
+    assert fitted["b"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fitted["w"]),
+                               np.asarray(target["w"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fitted["b"]),
+                               np.asarray(target["b"]), atol=1e-4)
