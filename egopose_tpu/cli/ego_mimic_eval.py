@@ -52,6 +52,13 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true", default=False,
                         help="evaluate in float64 (validation parity runs, "
                              "SURVEY 7.4.4); default f32")
+    parser.add_argument("--engine", default="jax", choices=["jax", "mujoco"],
+                        help="physics backend for the rollout: 'jax' (the "
+                             "TPU engine, production path) or 'mujoco' (the "
+                             "MuJoCo C oracle on host, closed-loop "
+                             "cross-engine parity harness -- identical "
+                             "policy/fail-safe/eval logic, reference "
+                             "physics; envs/mujoco_oracle.py)")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of the eval scan "
                              "execution (post-compile)")
@@ -239,6 +246,28 @@ def main(argv=None):
         quat = Q.quat_mul(rel_h, e_qpos[3:7])
         return jnp.concatenate([pos, quat, e_qpos[7:]])
 
+    if args.engine == "mujoco":
+        # cross-engine parity harness: the MuJoCo C oracle steps the physics
+        # on host while every other piece of the eval (policy, value
+        # fail-safe, sync bookkeeping) is the identical code below
+        from ..envs.mujoco_oracle import MuJoCoOracle
+        oracle = MuJoCoOracle(spec, n_takes, np.asarray(p.jkp),
+                              np.asarray(p.jkd), np.asarray(p.torque_lim),
+                              frame_skip=int(p.frame_skip))
+
+        def phys_step(st, action):
+            ctrl = jax.vmap(lambda a: envs.apply_action(p, a))(action)
+            qp, qv = oracle.control_step(st.qpos, st.qvel, ctrl)
+            return jax.vmap(lambda s, a, b: envs.finish_step(
+                model, p, tables, expert, s, a, b, 0.0,
+                fix_head_lb=fix_head_lb))(
+                st, jnp.asarray(qp, dtype), jnp.asarray(qv, dtype))
+    else:
+        def phys_step(st, action):
+            return jax.vmap(
+                lambda s, a: envs.step(model, p, tables, expert, s, a, 0.0,
+                                       fix_head_lb=fix_head_lb))(st, action)
+
     def step_fn(carry, t):
         st, vstat_n, vstat_mean, n_reset, (rel_h, start_p, sim_p) = carry
         active = t < jnp.asarray(test_lens)
@@ -268,9 +297,7 @@ def main(argv=None):
                                             (value - vstat_mean)
                                             / jnp.maximum(vstat_n, 1), 0.0)
 
-        new_st, out = jax.vmap(
-            lambda s, a: envs.step(model, p, tables, expert, s, a, 0.0,
-                                   fix_head_lb=fix_head_lb))(st, action)
+        new_st, out = phys_step(st, action)
         if args.fail_safe == "valuefs":
             trigger = value < 0.6 * vstat_mean
         elif args.fail_safe == "naivefs":
@@ -299,19 +326,35 @@ def main(argv=None):
     carry0 = (state0, jnp.zeros(n_takes), jnp.zeros(n_takes),
               jnp.zeros(n_takes, jnp.int32), anchor0)
     import time as _time
-    eval_fn = jax.jit(lambda c: jax.lax.scan(step_fn, c, jnp.arange(t_max)))
-    t0 = _time.time()
-    compiled = eval_fn.lower(carry0).compile()
-    t_compile = _time.time() - t0
-    if args.profile_dir:
-        jax.profiler.start_trace(args.profile_dir)
-    t0 = _time.time()
-    (stf, _, _, n_reset, _), (qpos_traj, qvel_traj, rewards, epos_sync_traj) \
-        = jax.block_until_ready(compiled(carry0))
-    wall = _time.time() - t0
-    if args.profile_dir:
-        jax.profiler.stop_trace()
-        logger.info("wrote profiler trace to %s" % args.profile_dir)
+    if args.engine == "mujoco":
+        # host loop: the oracle cannot live inside a traced scan.  Eager
+        # jax ops + per-step MuJoCo C; semantics identical to the scan.
+        t_compile = 0.0
+        t0 = _time.time()
+        carry, ys = carry0, []
+        for t in range(t_max):
+            carry, y = step_fn(carry, jnp.asarray(t))
+            ys.append(jax.device_get(y))
+        (stf, _, _, n_reset, _) = carry
+        qpos_traj, qvel_traj, rewards, epos_sync_traj = [
+            np.stack([y[j] for y in ys]) for j in range(4)]
+        wall = _time.time() - t0
+    else:
+        eval_fn = jax.jit(lambda c: jax.lax.scan(step_fn, c,
+                                                 jnp.arange(t_max)))
+        t0 = _time.time()
+        compiled = eval_fn.lower(carry0).compile()
+        t_compile = _time.time() - t0
+        if args.profile_dir:
+            jax.profiler.start_trace(args.profile_dir)
+        t0 = _time.time()
+        (stf, _, _, n_reset, _), \
+            (qpos_traj, qvel_traj, rewards, epos_sync_traj) \
+            = jax.block_until_ready(compiled(carry0))
+        wall = _time.time() - t0
+        if args.profile_dir:
+            jax.profiler.stop_trace()
+            logger.info("wrote profiler trace to %s" % args.profile_dir)
     n_frames = int(test_lens.sum())
     logger.info("eval rollout: %d frames over %d takes -- compile %.2fs "
                 "(cached across runs), execute %.2fs = %.0f frames/s "
@@ -349,11 +392,14 @@ def main(argv=None):
         save_replay(vis_path, traj_pred,
                     orig_sync if args.sync else traj_orig)
         logger.info("saved replay for the viewer to %s" % vis_path)
-    meta = {"algo": "ego_mimic", "num_reset": int(n_reset.sum())}
+    meta = {"algo": "ego_mimic", "num_reset": int(n_reset.sum()),
+            "frames_per_sec": n_frames / max(wall, 1e-9),
+            "compile_s": t_compile, "engine": args.engine}
     fs_tag = "" if args.fail_safe == "valuefs" else "_" + args.fail_safe
     c_tag = "_causal" if args.causal else ""
-    res_path = "%s/iter_%04d_%s%s%s.p" % (cfg.result_dir, args.iter,
-                                          args.data, fs_tag, c_tag)
+    e_tag = "_mj" if args.engine == "mujoco" else ""
+    res_path = "%s/iter_%04d_%s%s%s%s.p" % (cfg.result_dir, args.iter,
+                                            args.data, fs_tag, c_tag, e_tag)
     os.makedirs(cfg.result_dir, exist_ok=True)
     pickle.dump((results, meta), open(res_path, "wb"))
     logger.info("num reset: %d" % int(n_reset.sum()))

@@ -321,6 +321,11 @@ def reset(model: PhysicsModel, p: EnvParams, tables: BodyTables,
                     done=jnp.zeros((), bool))
 
 
+def apply_action(p: EnvParams, action: jax.Array) -> jax.Array:
+    """Action -> PD target / torque (humanoid_v1.py:176-177)."""
+    return p.a_ref + action * p.a_scale
+
+
 def step(model: PhysicsModel, p: EnvParams, tables: BodyTables,
          expert: ExpertBatch, state: EnvState, action: jax.Array,
          end_reward=0.0, fix_len: int | None = None,
@@ -328,8 +333,7 @@ def step(model: PhysicsModel, p: EnvParams, tables: BodyTables,
     """One 30 Hz control step mirroring HumanoidEnv.step
     (humanoid_v1.py:179-199): 15 stable-PD physics substeps, then obs,
     custom reward, and fail/end detection."""
-    dt = model.timestep * p.frame_skip
-    ctrl = p.a_ref + action * p.a_scale
+    ctrl = apply_action(p, action)
     if p.action_type == "position":
         qpos, qvel = engine.pd_control_step(
             model, state.qpos, state.qvel, ctrl, p.jkp, p.jkd, p.torque_lim,
@@ -338,6 +342,19 @@ def step(model: PhysicsModel, p: EnvParams, tables: BodyTables,
         qpos, qvel = engine.torque_control_step(
             model, state.qpos, state.qvel, ctrl, p.torque_lim, p.frame_skip,
             p.contact)
+    return finish_step(model, p, tables, expert, state, qpos, qvel,
+                       end_reward, fix_len, fix_head_lb)
+
+
+def finish_step(model: PhysicsModel, p: EnvParams, tables: BodyTables,
+                expert: ExpertBatch, state: EnvState, qpos: jax.Array,
+                qvel: jax.Array, end_reward=0.0, fix_len: int | None = None,
+                fix_head_lb: jax.Array | None = None):
+    """Post-physics half of ``step``: bookkeeping, fail/end detection,
+    reward, observation.  Split out so an external physics engine (the
+    MuJoCo C oracle in the cross-engine parity harness, envs/mujoco_oracle
+    .py) can drive the identical env semantics from its own (qpos, qvel)."""
+    dt = model.timestep * p.frame_skip
     cur_t = state.cur_t + 1
     bq = get_body_quat(tables, qpos)
     new_state = EnvState(qpos=qpos, qvel=qvel, cur_t=cur_t,
