@@ -152,9 +152,17 @@ def main(argv=None):
         mesh = make_mesh(args.dp_devices)
         logger.info(f"data-parallel mesh over {args.dp_devices} devices")
 
-    agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
-                     batch_lanes=args.batch_lanes, seed=cfg.seed, dtype=dtype,
-                     mesh=mesh)
+    agent_cls = AgentEgo
+    if getattr(cfg, "discriminator", None):
+        # discriminator: config block -> adversarial VGAIL training
+        # (reference ego_pose/core/agent_vgail.py via rl/vgail.AgentVGAIL)
+        from ..rl.vgail import AgentVGAIL as agent_cls
+        logger.info("discriminator block present: training with VGAIL "
+                    "reward shaping (reward_weight=%s)"
+                    % dict(cfg.discriminator).get("reward_weight", 1.0))
+    agent = agent_cls(model, spec, p, tables, expert, cnn_feat, cfg,
+                      batch_lanes=args.batch_lanes, seed=cfg.seed,
+                      dtype=dtype, mesh=mesh)
     if args.iter > 0:
         orbax_path = "%s/iter_%04d.orbax" % (cfg.model_dir, args.iter)
         if os.path.isdir(orbax_path):

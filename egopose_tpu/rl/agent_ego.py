@@ -187,16 +187,35 @@ class AgentEgo:
         if mbs and mbs < batch_lanes * params.env_episode_len:
             self.mini_batch_lanes = max(1, int(mbs) // params.env_episode_len)
         self._update_key = jax.random.PRNGKey(seed + 17)
-        # "ppo" (shipped configs) or "a2c" (the reference's standalone
-        # vanilla-PG AgentPG, agents/agent_pg.py:28-38)
+        # "ppo" (shipped configs), "a2c" (the reference's standalone
+        # vanilla-PG AgentPG, agents/agent_pg.py:28-38), or "trpo"
+        # (AgentTRPO, agents/agent_trpo.py:43-137 via rl/trpo.trpo_update)
         self.objective = getattr(cfg, "policy_objective", None) or "ppo"
+        if self.objective not in ("ppo", "a2c", "trpo"):
+            raise ValueError(
+                f"policy_objective must be ppo|a2c|trpo, got "
+                f"{self.objective!r}")
 
-        def update_fn(ts, batch, windows, key):
-            return ppo.ppo_update(ts, self.opt_p, self.opt_v, self.hyper,
-                                  batch, windows, policy_apply, pctx_apply,
-                                  value_apply, vctx_apply, key=key,
-                                  mini_batch_lanes=self.mini_batch_lanes,
-                                  objective=self.objective)
+        if self.objective == "trpo":
+            from . import trpo as _trpo
+            t_hyper = _trpo.TRPOHyper(
+                max_kl=float(getattr(cfg, "max_kl", None) or 1e-2),
+                damping=float(getattr(cfg, "cg_damping", None) or 1e-2),
+                cg_iters=int(getattr(cfg, "cg_iters", None) or 10))
+
+            def update_fn(ts, batch, windows, key):
+                return _trpo.trpo_update(ts, self.opt_v, self.hyper,
+                                         t_hyper, batch, windows,
+                                         policy_apply, pctx_apply,
+                                         value_apply, vctx_apply)
+        else:
+            def update_fn(ts, batch, windows, key):
+                return ppo.ppo_update(ts, self.opt_p, self.opt_v, self.hyper,
+                                      batch, windows, policy_apply,
+                                      pctx_apply, value_apply, vctx_apply,
+                                      key=key,
+                                      mini_batch_lanes=self.mini_batch_lanes,
+                                      objective=self.objective)
 
         self._update_fn = jax.jit(update_fn)
 

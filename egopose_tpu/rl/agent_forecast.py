@@ -261,13 +261,28 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
     agent._sample_fn = jax.jit(sample_fn, static_argnames=("mean_action",))
 
     agent.objective = getattr(cfg, "policy_objective", None) or "ppo"
+    if agent.objective not in ("ppo", "a2c", "trpo"):
+        raise ValueError(f"policy_objective must be ppo|a2c|trpo, got "
+                         f"{agent.objective!r}")
 
-    def update_fn(ts, batch, windows, key):
-        return ppo.ppo_update(ts, agent.opt_p, agent.opt_v, agent.hyper,
-                              batch, windows, policy_apply, pctx_apply,
-                              value_apply, vctx_apply, key=key,
-                              mini_batch_lanes=agent.mini_batch_lanes,
-                              objective=agent.objective)
+    if agent.objective == "trpo":
+        from . import trpo as _trpo
+        t_hyper = _trpo.TRPOHyper(
+            max_kl=float(getattr(cfg, "max_kl", None) or 1e-2),
+            damping=float(getattr(cfg, "cg_damping", None) or 1e-2),
+            cg_iters=int(getattr(cfg, "cg_iters", None) or 10))
+
+        def update_fn(ts, batch, windows, key):
+            return _trpo.trpo_update(ts, agent.opt_v, agent.hyper, t_hyper,
+                                     batch, windows, policy_apply,
+                                     pctx_apply, value_apply, vctx_apply)
+    else:
+        def update_fn(ts, batch, windows, key):
+            return ppo.ppo_update(ts, agent.opt_p, agent.opt_v, agent.hyper,
+                                  batch, windows, policy_apply, pctx_apply,
+                                  value_apply, vctx_apply, key=key,
+                                  mini_batch_lanes=agent.mini_batch_lanes,
+                                  objective=agent.objective)
 
     agent._update_fn = jax.jit(update_fn)
 

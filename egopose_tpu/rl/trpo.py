@@ -126,8 +126,94 @@ def trpo_step(policy_params, policy_in_fn: Callable, states, actions,
     (x_final, success), _ = jax.lax.scan(
         ls_body, (x0, jnp.zeros((), bool)), jnp.arange(hyper.ls_steps))
     new_params = _unflat(x_final, policy_params)
+
+    def kl_vs_old(params):
+        """True KL(old || new) over the batch -- the reported metric.
+        (mean_kl above is the SELF-KL whose Hessian is the Fisher; its
+        value is identically zero and must not be reported.)"""
+        mean, log_std = policy_in_fn(params)
+        m0 = jax.lax.stop_gradient(mean0)
+        ls0 = jax.lax.stop_gradient(log_std0)
+        kl = log_std - ls0 + (jnp.exp(2 * ls0) + (m0 - mean) ** 2) \
+            / (2 * jnp.exp(2 * log_std)) - 0.5
+        return jnp.sum(kl.sum(-1) * w) / n
+
     return new_params, {"surrogate_loss": loss0, "ls_success": success,
-                        "kl": mean_kl(new_params)}
+                        "surrogate_after": surrogate(new_params),
+                        "kl": kl_vs_old(new_params)}
+
+
+def trpo_update(ts, opt_v, hyper, t_hyper: TRPOHyper, batch, windows,
+                policy_apply: Callable, policy_ctx_apply: Callable,
+                value_apply: Callable, value_ctx_apply: Callable):
+    """AgentTRPO.update_params on a SegmentBatch (the product-path wiring of
+    trpo_step; reference agents/agent_trpo.py:43-137 orchestration on
+    agent_ego.py's batch/window layout).
+
+    Same pre-update GAE contract as ppo.ppo_update (values/advantages from
+    the pre-update critic, normalized over valid steps), then: critic fit
+    via ``hyper.num_epochs`` Adam steps (the jit-compatible stand-in for the
+    reference's host L-BFGS fit -- ``update_value_lbfgs`` remains available
+    for host-side exact replication), then ONE natural-gradient policy step
+    over the full policy (policy net + its video-context net, so the
+    Fisher metric covers every parameter the surrogate touches).
+
+    Returns (new TrainState, metrics dict) -- drop-in for ppo_update.
+    """
+    import optax
+    from ..ops.gae import estimate_advantages
+    from . import ppo as _ppo
+
+    valid = batch.valids
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+
+    def values_of(p_value, p_vs):
+        vin = value_ctx_apply(p_vs, windows, batch.states)
+        return value_apply(p_value, vin)
+
+    values = jax.lax.stop_gradient(values_of(ts.value, ts.value_vs))
+    advantages, returns = estimate_advantages(
+        batch.rewards, batch.masks, values, hyper.gamma, hyper.tau,
+        valid=valid)
+    advantages = jax.lax.stop_gradient(advantages)
+    returns = jax.lax.stop_gradient(returns)
+    exp_w = batch.exps * valid
+
+    def value_loss_fn(params):
+        p_value, p_vs = params
+        v = values_of(p_value, p_vs)
+        return jnp.sum(((v - returns) ** 2) * valid) / n_valid
+
+    vparams = (ts.value, ts.value_vs)
+    ovs = ts.opt_value
+
+    def vstep(carry, _):
+        vparams, ovs = carry
+        vloss, vgrad = jax.value_and_grad(value_loss_fn)(vparams)
+        upd, ovs = opt_v.update(vgrad, ovs, vparams)
+        return (optax.apply_updates(vparams, upd), ovs), vloss
+
+    (vparams, ovs), vlosses = jax.lax.scan(
+        vstep, (vparams, ovs), None, length=hyper.num_epochs)
+
+    def policy_in_fn(prm):
+        pin = policy_ctx_apply(prm[1], windows, batch.states)
+        return policy_apply(prm[0], pin)
+
+    (new_pol, new_pvs), info = trpo_step(
+        (ts.policy, ts.policy_vs), policy_in_fn, batch.states,
+        batch.actions, advantages, exp_w, t_hyper)
+
+    ts = _ppo.TrainState(policy=new_pol, policy_vs=new_pvs,
+                         value=vparams[0], value_vs=vparams[1],
+                         opt_policy=ts.opt_policy, opt_value=ovs)
+    metrics = {"policy_loss": info["surrogate_loss"],
+               "value_loss": vlosses[-1], "kl": info["kl"],
+               "surrogate_after": info["surrogate_after"],
+               "ls_success": info["ls_success"].astype(jnp.float32),
+               "n_valid": n_valid,
+               "n_exp": jnp.maximum(exp_w.sum(), 1.0)}
+    return ts, metrics
 
 
 def update_value_lbfgs(value_loss_fn, params):

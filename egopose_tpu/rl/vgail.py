@@ -19,6 +19,7 @@ import optax
 
 from ..models.mlp import MLP
 from ..ops import running_norm
+from .agent_ego import AgentEgo
 
 
 class Discriminator(nn.Module):
@@ -92,3 +93,80 @@ def gather_expert_obs(expert, expert_ind, start_ind, t_len):
     def one(e, s):
         return jax.lax.dynamic_slice_in_dim(expert.obs[e], s, t_len, axis=0)
     return jax.vmap(one)(expert_ind, start_ind).transpose(1, 0, 2)
+
+
+class AgentVGAIL(AgentEgo):
+    """AgentEgo + adversarial discriminator (the product wiring of the
+    pieces above; reference ego_pose/core/agent_vgail.py:7-88).
+
+    Activated by a ``discriminator:`` config block
+    ({hidden_dims, lr, num_update, reward_weight}).  The discriminator's
+    -log D(s) reward rides the reference's custom_reward hook
+    (agents/agent.py:52-56): there it replaces the env reward step-by-step
+    inside the sampler; here the recorded batch rewards are replaced
+    batched before the update -- identical math, since rewards are
+    consumed only by the advantage estimator.  ``reward_weight`` in (0,1)
+    blends -log D(s) with the imitation reward (1.0 = pure GAIL, the
+    reference's semantics).  Discriminator BCE update runs after the
+    policy update, as in agent_vgail.py:43-51.
+    """
+
+    def __init__(self, *args, **kwargs):
+        from ..models.video_state_net import VideoStateNet
+        super().__init__(*args, **kwargs)
+        cfg = self.cfg
+        dcfg = dict(getattr(cfg, "discriminator", None) or {})
+        hidden = tuple(dcfg.get("hidden_dims", (128, 128)))
+        lr = float(dcfg.get("lr", 1e-4))
+        self.discrim_num_update = int(dcfg.get("num_update", 10))
+        self.reward_weight = float(dcfg.get("reward_weight", 1.0))
+        if not (0.0 < self.reward_weight <= 1.0):
+            raise ValueError("discriminator.reward_weight must be in (0,1]")
+
+        cnn_fdim = int(self.cnn_feat.shape[-1])
+        window_len = self.p.env_episode_len + 2 * cfg.fr_margin
+        # its own video-context net, same architecture as the policy's
+        # (discrim_vs_net, agent_vgail.py:10-18)
+        self.discrim_vs_net = VideoStateNet(
+            cnn_fdim, cfg.policy_v_hdim, cfg.fr_margin, cfg.policy_v_net,
+            cfg.policy_v_net_param, cfg.causal)
+        in_dim = self.p.obs_dim + cfg.policy_v_hdim
+        kd = jax.random.PRNGKey(kwargs.get("seed", 1) + 29)
+        self.discrim_net, self.discrim_tx, self.vgail_state = \
+            make_discriminator(kd, in_dim, self.discrim_vs_net, cnn_fdim,
+                               window_len, hidden, lr)
+        dvs_apply = lambda p, w: self.discrim_vs_net.apply(p, w)
+
+        self._gail_reward_fn = jax.jit(
+            lambda st, windows, states: gail_reward(
+                self.discrim_net, st, dvs_apply, windows, states))
+        self._discrim_update_fn = jax.jit(
+            lambda st, windows, gen_states, expert_obs, zstat:
+            update_discriminator(self.discrim_net, self.discrim_tx, st,
+                                 dvs_apply, windows, gen_states, expert_obs,
+                                 zstat, num_update=self.discrim_num_update))
+
+    def update_params(self, batch):
+        from . import rollout
+        windows = rollout.gather_windows(
+            self.cnn_feat, batch.expert_ind, batch.start_ind,
+            self.p.fr_margin, self.p.env_episode_len)
+        g_r = self._gail_reward_fn(self.vgail_state, windows, batch.states)
+        w = self.reward_weight
+        shaped = batch._replace(
+            rewards=(w * g_r + (1.0 - w) * batch.rewards)
+            .astype(batch.rewards.dtype))
+        self._update_key, sub = jax.random.split(self._update_key)
+        if self.mesh is not None:
+            from ..parallel import mesh as meshlib
+            sub = meshlib.replicate(self.mesh, sub)
+        self.train_state, metrics = self._update_fn(self.train_state,
+                                                    shaped, windows, sub)
+        expert_obs = gather_expert_obs(self.expert, batch.expert_ind,
+                                       batch.start_ind,
+                                       self.p.env_episode_len)
+        self.vgail_state, dloss = self._discrim_update_fn(
+            self.vgail_state, windows, batch.states, expert_obs, self.zstat)
+        out = {k: float(v) for k, v in metrics.items()}
+        out["discrim_loss"] = float(dloss)
+        return out

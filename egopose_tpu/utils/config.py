@@ -117,9 +117,18 @@ class EgoMimicConfig(ConfigBase):
         # optional shuffled-minibatch PPO (agent_ppo.py:24-43); steps per
         # minibatch, None/absent = full-batch epochs
         self.mini_batch_size = g("mini_batch_size", None)
-        # "ppo" (default, AgentPPO) or "a2c" (vanilla-PG AgentPG,
-        # agents/agent_pg.py:28-38) -- framework extension key
+        # "ppo" (default, AgentPPO), "a2c" (vanilla-PG AgentPG,
+        # agents/agent_pg.py:28-38) or "trpo" (AgentTRPO,
+        # agents/agent_trpo.py:43-137) -- framework extension key
         self.policy_objective = g("policy_objective", "ppo")
+        # TRPO hyperparameters (agents/agent_trpo.py:44-47 defaults)
+        self.max_kl = g("max_kl", 1e-2)
+        self.cg_damping = g("cg_damping", 1e-2)
+        self.cg_iters = g("cg_iters", 10)
+        # optional VGAIL discriminator block (ego_pose/core/agent_vgail.py):
+        # {hidden_dims, lr, num_update, reward_weight} -- absent = plain
+        # AgentEgo, present = AgentVGAIL with -log D(s) reward shaping
+        self.discriminator = g("discriminator", None)
         self.max_iter_num = g("max_iter_num", 1000)
         self.save_model_interval = g("save_model_interval", 100)
         self.reward_id = g("reward_id", "quat_v3")
