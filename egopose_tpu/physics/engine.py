@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops import quat as Q
 from .linalg_pallas import (make_fused_contact_solve, make_pd_fused_step,
                             spd_solve)
-from .model import PhysicsModel, TERNARY_ITERS
+from .model import PhysicsModel, golden_min01
 import functools
 
 
@@ -392,17 +392,9 @@ def pair_candidates(m: PhysicsModel, kin: Kin):
             return jnp.where(mx > 0, jnp.sqrt(jnp.sum(do * do, -1)), mx)
 
         # signed point-box distance composed with an affine map is convex in
-        # t: fixed ternary search (model.TERNARY_ITERS, shared with the
-        # resident kernel)
-        lo = jnp.zeros_like(m.bpair_rseg)
-        hi = jnp.ones_like(lo)
-        for _ in range(TERNARY_ITERS):
-            m1 = lo + (hi - lo) / 3.0
-            m2 = hi - (hi - lo) / 3.0
-            take = sdist(m1) < sdist(m2)
-            hi = jnp.where(take, m2, hi)
-            lo = jnp.where(take, lo, m1)
-        t = 0.5 * (lo + hi)
+        # t: fixed-budget golden-section search (model.golden_min01, shared
+        # with the resident kernel so both produce identical contacts)
+        t = golden_min01(sdist, m.bpair_rseg.shape, m.bpair_rseg.dtype)
         qq = al + t[:, None] * (bl - al)
         dout = jnp.abs(qq) - h
         mx = jnp.max(dout, -1)
@@ -429,6 +421,28 @@ def pair_candidates(m: PhysicsModel, kin: Kin):
     return phi, n, p
 
 
+def _top_k_desc(x, k):
+    """``jax.lax.top_k`` replacement for lane-sharded batched use.  XLA
+    lowers top_k (a variadic sort) of a vmapped operand by ALL-GATHERING
+    the batch axis across the device mesh (caught by the multichip
+    collective audit, parallel/audit.py); this iterative max/suppress form
+    is elementwise + reductions over the candidate axis only, so the lane
+    sharding passes through untouched.  Ties resolve to the lowest index,
+    exactly like lax.top_k; values descend.  k is static and small (4-16),
+    so the unrolled loop is also faster than a full sort on TPU."""
+    n = x.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cur = x
+    vals, idxs = [], []
+    for _ in range(k):
+        mx = jnp.max(cur, -1, keepdims=True)
+        first = jnp.min(jnp.where(cur >= mx, iota, n), -1)
+        vals.append(mx[..., 0])
+        idxs.append(first)
+        cur = jnp.where(iota == first[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def contact_blocks(m: PhysicsModel, kin: Kin,
                    params: ContactParams = DEFAULT_CONTACT):
     """Active-contact geometry in BLOCK row order for the contact solve:
@@ -447,7 +461,7 @@ def contact_blocks(m: PhysicsModel, kin: Kin,
     p_all = kin.xpos[m.cpoint_body] + Q.quat_rotate(kin.xquat[m.cpoint_body],
                                                     m.cpoint_local)
     phi_all = m.cpoint_radius - p_all[:, 2]
-    phi, sel = jax.lax.top_k(phi_all, k)
+    phi, sel = _top_k_desc(phi_all, k)
     p = p_all[sel]
     mu = m.cpoint_mu[sel]
     dof_mask = m.point_dof_mask.T[sel]
@@ -465,7 +479,7 @@ def contact_blocks(m: PhysicsModel, kin: Kin,
     if kp:
         phi_p, n_p, p_p = pair_candidates(m, kin)
         smask_all = jnp.concatenate([m.pair_dof_mask, m.bpair_dof_mask], 1)
-        php, selp = jax.lax.top_k(phi_p, kp)
+        php, selp = _top_k_desc(phi_p, kp)
         n_sel, p_sel = n_p[selp], p_p[selp]
         sm = smask_all.T[selp]                      # (kp, nd) signed
         actp = (php > -params.margin).astype(p.dtype)

@@ -17,14 +17,44 @@ import numpy as np
 
 from .spec import ModelSpec, parse_mjcf
 
-# segment-box narrowphase: fixed ternary-search iteration count, shared by
-# the split path (engine.pair_candidates) and the resident kernel
+# segment-box narrowphase: fixed 1-D minimization budget, shared by the
+# split path (engine.pair_candidates) and the resident kernel
 # (substep_pallas._pair_narrowphase) so both produce identical contacts.
-# Interval shrinks (2/3)^n: 10 iters ~ 1.7% of the segment length, which
-# bounds the *depth* error quadratically (the minimized signed distance is
-# locally convex in t) -- the crossed-thighs/arms-folded goldens track
-# MuJoCo C identically for n in [10, 16].
-TERNARY_ITERS = 10
+# Golden-section needs ONE sdist eval per shrink after the first two
+# (ternary needs two), so the same bracket accuracy costs half the evals:
+# 10 evals shrink the bracket to phi^-(10-1) ~ 1.3% of the segment, at
+# least as tight as the retired 10-iteration ternary ((2/3)^10 ~ 1.7%).
+# Depth error is quadratic in the bracket (the minimized signed distance
+# is locally convex in t); the crossed-thighs/arms-folded goldens track
+# MuJoCo C identically for budgets in [10, 32].
+GOLDEN_EVALS = 10
+_GR = 0.6180339887498949  # 1/phi
+
+
+def golden_min01(sdist, shape, dtype):
+    """Branchless batched golden-section minimization of ``sdist`` over
+    t in [0,1]: returns the best interior point.  Pure jax.numpy, so the
+    same code traces identically in the split-path engine and inside the
+    Pallas kernel."""
+    a = jnp.zeros(shape, dtype)
+    b = jnp.ones(shape, dtype)
+    c = b - _GR * (b - a)
+    d = a + _GR * (b - a)
+    fc = sdist(c)
+    fd = sdist(d)
+    for _ in range(GOLDEN_EVALS - 2):
+        take = fc < fd                       # minimum lies in [a, d]
+        a = jnp.where(take, a, c)
+        b = jnp.where(take, d, b)
+        x_keep = jnp.where(take, c, d)       # surviving interior point
+        f_keep = jnp.where(take, fc, fd)
+        x_new = jnp.where(take, b - _GR * (b - a), a + _GR * (b - a))
+        f_new = sdist(x_new)
+        c = jnp.where(take, x_new, x_keep)
+        d = jnp.where(take, x_keep, x_new)
+        fc = jnp.where(take, f_new, f_keep)
+        fd = jnp.where(take, f_keep, f_new)
+    return jnp.where(fc < fd, c, d)
 
 
 @partial(jax.tree_util.register_dataclass,

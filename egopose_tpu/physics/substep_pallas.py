@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fk_pallas import _build_topo, _fk_compute_lvl
-from .model import TERNARY_ITERS
+from .model import golden_min01
 from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_fsolve,
                          ldl_solve, ldl_tsolve)
 from .linalg_pallas import (LANES, _contact_sweep, _contact_sweep_sym,
@@ -540,15 +540,7 @@ def _pair_narrowphase(st, C, xpos, rot, dot, dtype):
             disto = jnp.sqrt(sum(do[mm_] * do[mm_] for mm_ in range(3)))
             return jnp.where(mx > 0, disto, mx)
 
-        lo = jnp.zeros((Pb, L), dtype)
-        hi = jnp.ones((Pb, L), dtype)
-        for _ in range(TERNARY_ITERS):
-            m1 = lo + (hi - lo) / 3.0
-            m2 = hi - (hi - lo) / 3.0
-            take = sdist(m1) < sdist(m2)
-            hi = jnp.where(take, m2, hi)
-            lo = jnp.where(take, lo, m1)
-        t = 0.5 * (lo + hi)
+        t = golden_min01(sdist, (Pb, L), dtype)
         qq = [al[mm_] + t * (bl[mm_] - al[mm_]) for mm_ in range(3)]
         dout = [jnp.abs(qq[mm_]) - h[mm_] for mm_ in range(3)]
         mx = jnp.maximum(jnp.maximum(dout[0], dout[1]), dout[2])
