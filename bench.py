@@ -139,6 +139,22 @@ def measure_tpu():
         float(np.median(train_samples)), train_samples, fallback
 
 
+def measure_eval():
+    """Third metric (VERDICT r3 item 9): product inference throughput --
+    the ego_mimic_eval scan (policy + value fail-safe + physics, lane =
+    take) on the synthetic suite, steady-state frames/s after the first
+    call warms the compile cache."""
+    from egopose_tpu.cli import ego_mimic_eval
+    os.chdir(HERE)
+    rates = []
+    for _ in range(TRIALS + 1):  # first call pays (cached) compile
+        _res, meta = ego_mimic_eval.main(
+            ["--cfg", "subject_03", "--synthetic", "--iter", "0"])
+        rates.append(meta["frames_per_sec"])
+    rates = rates[1:]
+    return float(np.median(rates)), rates
+
+
 def probe_device(timeout_s: float) -> None:
     """Fail fast if the accelerator is unreachable.  The tunneled-TPU plugin
     blocks indefinitely inside jax init while the tunnel is down (observed:
@@ -164,6 +180,7 @@ def probe_device(timeout_s: float) -> None:
 def main():
     probe_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600")))
     tpu, samples, train, train_samples, fallback = measure_tpu()
+    ev, ev_rates = measure_eval()
     base = get_baseline()
     out = {
         "metric": "ppo_env_steps_per_sec",
@@ -173,6 +190,8 @@ def main():
         "trials": [round(s, 1) for s in samples],
         "train_loop_steps_per_sec": round(train, 1),
         "train_loop_trials": [round(s, 1) for s in train_samples],
+        "eval_frames_per_sec": round(ev, 1),
+        "eval_trials": [round(s, 1) for s in ev_rates],
     }
     if fallback:
         out["fallback"] = fallback
