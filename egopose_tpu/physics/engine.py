@@ -81,23 +81,28 @@ class ContactParams(NamedTuple):
                              # the knee while dropping 60% of the sweep's
                              # vector-register passes in the substep kernel
     relax: float = 1.0       # relaxation for the (row-sum-scaled) sweep
-    max_contacts: int = 8    # top-K deepest candidate points kept per substep.
-                             # 8 keeps >=4 points per foot in double stance
-                             # (a rigid foot is fully constrained by 3-4);
-                             # K=8 tracks MuJoCo C identically to K=16 on the
-                             # landing/standing golden scenario (RMS 0.00224
-                             # both) and cuts the Delassus solve width 49->25,
-                             # +30% control-step throughput on v5e
-    max_pair_contacts: int = 4  # top-K deepest body-body (self-collision)
+    max_contacts: int = 6    # top-K deepest candidate points kept per substep.
+                             # A rigid foot is fully constrained by 3-4
+                             # points; 6 tracks MuJoCo C within 0.003 qpos
+                             # RMS of K=8 on every golden scenario incl. the
+                             # prone 24-contact collapse (tools/
+                             # sweep_contact_params.py, round 4), and
+                             # together with max_pair_contacts=6 puts the
+                             # contact block at c = 3K+KP = 24 rows -- an
+                             # exact 3-sublane-tile width, vs (8,4)'s 28
+                             # padding to 32 in every per-dof solve op
+    max_pair_contacts: int = 6  # top-K deepest body-body (self-collision)
                              # candidates kept per substep.  The reference
                              # model resolves body-body pairs frictionless
                              # (condim=1, humanoid_1205_v1.xml:11), so each
                              # selected pair contributes ONE normal-only row
                              # to the contact system (vs 3 for floor points);
-                             # 4 covers the persistent Neck/Shoulder contacts
-                             # plus crossed-limb poses.  0 disables
-                             # self-collision (floor-only, rounds 1-3
-                             # behavior)
+                             # 6 covers the persistent Neck/Shoulder contacts
+                             # plus crossed-limb poses with slack (two of the
+                             # top-4 deepest pairs sharing one anatomical
+                             # region-pair class was never observed on the
+                             # golden scenarios).  0 disables self-collision
+                             # (floor-only, rounds 1-3 behavior)
     fused_solver: bool = False  # use the single fused Pallas kernel for the
                                 # whole solve+contact chain (measured slightly
                                 # slower than the split path on v5e: the

@@ -167,3 +167,90 @@ try:
 finally:
     SP._fk_compute_lvl = _orig_fk
 print(json.dumps({"fk_ms": round(full - no_fk, 2)}))
+
+
+# ---------------------------------------------------------------------------
+# analytic op-count + roofline (VERDICT r3 item 3)
+# ---------------------------------------------------------------------------
+# The kernel is vector-register-pass bound (BASELINE.md round-3 scheduling
+# experiments), so the roofline that matters is VPU element-op throughput,
+# not MXU FLOPs or HBM bytes (the whole working set is VMEM-resident; HBM
+# traffic is one state read + write per control step ~ B*(59+58)*4 bytes,
+# thousands of times below the 819 GB/s v5e ceiling).  Element ops below
+# count one per lane per array element per arithmetic pass, with sublane
+# padding (ceil to 8) applied where Mosaic tiles (c,L)/(n,L) rows.
+
+
+def _pad8(x):
+    return (x + 7) // 8 * 8
+
+
+def op_estimate():
+    from egopose_tpu.physics.ldl_pallas import dof_anc_lists
+    st = SP._build_static(model, resident)
+    nd, nb = st["nd"], st["nb"]
+    k, kp = st["k"], st["kp"]
+    c = 3 * k + kp
+    PP = st["npair"] + st["nbpair"]
+    iters = resident.iters
+    anc = dof_anc_lists(model.anc_mask)
+    slots = [len(a) for a in anc]                   # compressed row lengths
+    S1 = sum(slots)
+    S2 = sum(s * s for s in slots)
+
+    ops = {}
+    # FK (level-batched): ~8 levels x (4,m) quat chains ~ 40 ops/body + the
+    # one-shot 52-dof screw-axis batch (~30 ops/dof on (nd-6,L))
+    ops["fk"] = 40 * nb + 30 * (nd - 6)
+    # CRBA compressed: 6 f_crb spatial rows/dof + inner products over slots
+    ops["crba"] = 36 * nd + 12 * S1
+    # RNEA bias: forward vel/acc + backward force, ~60 ops/body + gather
+    ops["rnea"] = 60 * nb + 12 * nd
+    # 2x sparse LDL factor (PD + dynamics): elimination ~ 2 ops per slot^2
+    ops["ldl_factor"] = 2 * 2 * S2
+    # substitutions: PD solve (2 cols) + dyn qacc col + tsolve (c cols,
+    # padded) + final fsolve col -- each col costs ~2*S1
+    ops["ldl_subst"] = 2 * S1 * (2 + 1 + _pad8(c) + 1)
+    # Delassus accumulate: sym lower blocks x nd rank-1 FMAs (2 ops each)
+    g = [k, k, k] + ([kp] if kp else [])
+    area = sum(g[a] * g[b] for a in range(len(g)) for b in range(a + 1))
+    ops["delassus"] = 2 * nd * area
+    # projected-Jacobi sweep: iters x (acc matvec (c x pad8(c)) + clamps)
+    ops["sweep"] = iters * (2 * c * _pad8(c) + 6 * _pad8(c))
+    # stable-PD torque + limits + integration, ~20 passes on (nd,L)
+    ops["pd_integ"] = 20 * nd
+    # pair narrowphase: seg-seg closed form (~30 ops) + box golden search
+    # (GOLDEN_EVALS sdist evals x ~18 ops) + select (kp x ~11 over PP)
+    from egopose_tpu.physics.model import GOLDEN_EVALS
+    ops["pair_narrow"] = 30 * st["npair"] + GOLDEN_EVALS * 18 * st["nbpair"]
+    ops["pair_select"] = kp * 11 * PP if kp else 0
+    # floor candidate top-K: k passes x ~6 ops over ncp rows
+    ops["floor_topk"] = k * 6 * model.ncpoint
+
+    total_per_substep = sum(ops.values())           # element ops per lane
+    n_sub = 15
+    total = total_per_substep * n_sub * B
+    # v5e VPU: 8 sublanes x 128 lanes x 1 op/cycle @ ~0.94 GHz
+    vpu_ops_per_s = 8 * 128 * 0.94e9
+    t_roof_ms = total / vpu_ops_per_s * 1000
+    util = t_roof_ms / full
+    # MXU side (mask matmuls, W, pdmp): count real FLOPs for completeness
+    mxu_flops = 2 * B * n_sub * (
+        (4 * st["npair"] * 4 + 6 * st["nbpair"] * 4) * nb * 3   # W matmul
+        + (kp * nd * PP if kp else 0)                           # pdmp
+        + 3 * nb * nb * 12)                                     # tree masks
+    print(json.dumps({
+        "element_ops_per_lane_substep": total_per_substep,
+        "breakdown": {k_: v for k_, v in sorted(
+            ops.items(), key=lambda kv: -kv[1])},
+        "vpu_roofline_ms": round(t_roof_ms, 2),
+        "measured_full_ms": round(full, 2),
+        "vpu_utilization": round(util, 3),
+        "mxu_gflops_per_step": round(mxu_flops / 1e9, 2),
+        "note": "utilization ~ fraction of the measured step that pure "
+                "VPU element throughput explains; the remainder is "
+                "latency/layout/scheduling, not spare compute",
+    }))
+
+
+op_estimate()
