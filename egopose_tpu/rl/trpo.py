@@ -24,6 +24,9 @@ class TRPOHyper(NamedTuple):
     cg_iters: int = 10
     ls_steps: int = 10
     accept_ratio: float = 0.1
+    use_fim: bool = True     # analytic Gaussian FIM product (the reference's
+                             # Fvp_fim default, agent_trpo.py:55,89-103);
+                             # False = Hessian-of-KL (Fvp_direct)
 
 
 def _flat(tree):
@@ -96,11 +99,35 @@ def trpo_step(policy_params, policy_in_fn: Callable, states, actions,
     loss0, grad = jax.value_and_grad(surrogate)(policy_params)
     g = _flat(grad)
 
-    def fvp(v):
+    def fvp_direct(v):
         vec = _unflat(v, policy_params)
-        # Fvp_direct (agent_trpo.py:104-121): Hessian-vector product of KL
+        # Fvp_direct (agent_trpo.py:110-121): Hessian-vector product of KL
         _, hvp = jax.jvp(jax.grad(mean_kl), (policy_params,), (vec,))
         return _flat(hvp) + hyper.damping * v
+
+    def fvp_fim(v):
+        # Fvp_fim (agent_trpo.py:89-103, the use_fim=True default): the
+        # diagonal-Gaussian Fisher applied analytically -- J_mu^T Sigma^-1
+        # J_mu v for the mean head plus the exact 2*I block for log-std --
+        # as one jvp (tangent through the policy) and one vjp (cotangent
+        # back), instead of differentiating the KL twice.  For this policy
+        # family the self-KL Hessian IS the FIM, so both products agree to
+        # roundoff (locked by tests/test_trpo_vgail.py); the FIM form skips
+        # the second-order trace.
+        vec = _unflat(v, policy_params)
+        (mean, log_std), (dmean, dls) = jax.jvp(
+            policy_in_fn, (policy_params,), (vec,))
+        inv_var = jnp.exp(-2.0 * jax.lax.stop_gradient(log_std))
+        wn = (w / n).astype(mean.dtype)        # batch-shaped (mean sans adim)
+        cot_mean = (dmean * inv_var * wn[..., None]).astype(mean.dtype)
+        # log_std may be a shared (adim,) parameter or batch-shaped
+        cot_ls = (2.0 * dls * (wn[..., None] if dls.ndim == dmean.ndim
+                               else jnp.sum(wn))).astype(log_std.dtype)
+        _, vjp_fn = jax.vjp(policy_in_fn, policy_params)
+        (fv,) = vjp_fn((cot_mean, cot_ls))
+        return _flat(fv) + hyper.damping * v
+
+    fvp = fvp_fim if hyper.use_fim else fvp_direct
 
     stepdir = conjugate_gradient(fvp, -g, hyper.cg_iters)
     shs = 0.5 * jnp.dot(stepdir, fvp(stepdir))

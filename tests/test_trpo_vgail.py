@@ -48,6 +48,38 @@ def test_trpo_step_improves_surrogate_within_kl():
     assert surrogate(new_params) < surrogate(params)
 
 
+def test_fvp_fim_matches_fvp_direct():
+    """The analytic Gaussian FIM product (reference Fvp_fim, the use_fim=True
+    default) must equal the KL-Hessian product (Fvp_direct) to roundoff: for
+    a diagonal Gaussian the self-KL Hessian IS the Fisher matrix."""
+    rng = np.random.RandomState(3)
+    obs_dim, act_dim, n = 8, 3, 64
+    policy = nets.PolicyGaussian(action_dim=act_dim, hidden_dims=(12,),
+                                 activation="tanh", log_std_init=-0.3)
+    params = policy.init(jax.random.PRNGKey(2), jnp.zeros((1, obs_dim)))
+    states = jnp.asarray(rng.randn(n, obs_dim))
+    actions = jnp.asarray(rng.randn(n, act_dim) * 0.3)
+    advantages = jnp.asarray(rng.randn(n))
+    exps = jnp.asarray((rng.rand(n) > 0.3).astype(np.float64))
+
+    def policy_in_fn(p):
+        return policy.apply(p, states)
+
+    kls, steps = [], {}
+    for use_fim in (True, False):
+        hyper = TRPOHyper(max_kl=1e-2, damping=1e-3, use_fim=use_fim)
+        new_params, info = trpo_step(params, policy_in_fn, states, actions,
+                                     advantages, exps, hyper)
+        assert bool(info["ls_success"])
+        kls.append(float(info["kl"]))
+        leaves = jax.tree_util.tree_leaves(new_params)
+        steps[use_fim] = jnp.concatenate([l.reshape(-1) for l in leaves])
+    # identical natural-gradient step through CG + line search
+    np.testing.assert_allclose(np.asarray(steps[True]),
+                               np.asarray(steps[False]), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(kls[0], kls[1], rtol=1e-4)  # f32 roundoff
+
+
 def test_vgail_discriminator_learns_separation():
     rng = np.random.RandomState(2)
     obs_dim, vh, t, b, fdim, w = 6, 8, 10, 4, 5, 12
