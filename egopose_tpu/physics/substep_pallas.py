@@ -297,47 +297,12 @@ def _unpack_consts(st, ndc, masks, bodyc, pdm, cpc, treem, cppk,
         bp_half=None if pairc is None else pairc[st["npair"]:, 1:4])
 
 
-def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
-               compressed=False):
-    """Everything a substep needs BEFORE the SPD solves, as pure values on
-    lane-major arrays (lane width L = q.shape[-1], any size):
-
-      mmat (nd,nd,L), bias (nd,L), qfb (nd,L), e (nd,L), rhspd (nd,L),
-      jf (3k,nd,L) block rows, target (3k,L), mu (k,L)
-
-    Mirrors engine.{crba,bias_force,limit_qfrc,smooth_dynamics
-    pre-solve,contact_blocks} exactly; the kernel and the CPU unit tests
-    share this function.
-
-    With ``compressed`` (the sparse-LDL path), the first element is
-    ``(mrows, dvals)`` -- the mass matrix directly in ldl_pallas's
-    compressed ancestor-slot form -- and the dense (nd,nd,L) matrix is
-    never materialized: only the tree-coupled CRBA inner products are
-    computed (the rest of the dense matrix is structurally zero and the
-    u^T half is never needed, since compressed rows live strictly in the
-    lower triangle where anc_mask selects u)."""
-    nb, nd = st["nb"], st["nd"]
-    k = st["k"]
-    L = q.shape[-1]
-    dt = st["dt"]
-    # 0/1-mask matmuls replace the serial tree recursions: each ride the MXU
-    # as one (rows,cols)@(cols,L) contraction instead of ~nb dependent
-    # 1-sublane-row VPU adds (HIGHEST keeps f32 operands exact to ~1 ulp)
-    dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=dtype)
-
-    # ---- FK (fk_pallas level-batched composition, bit-exact vs both
-    # engine.fk and the sequential _fk_compute) -------------------------
-    xpos, xquat, com, s = _fk_compute_lvl(q, st["topo"], dtype)
-    s_ang, s_lin = s[:, :3, :], s[:, 3:, :]
-
-    # ---- CRBA (engine.crba) ---------------------------------------------
-    rot = _rot_entries(xquat)
-    ic, io = _world_inertias(C["mass_col"], C["icol"], rot, com)
+def _crba_fcrb(st, C, dot, s, s_ang, s_lin, com, io):
+    """Composite force rows f_crb (nd,6,L) of engine.crba: dof-level
+    composite momentum / inertia via the subtree-sum + per-dof gather mask
+    m_gdds, then the spatial products."""
     mom = C["mass_col"][..., None] * com               # (nb,3,L)
     cm_d = C["cmass_dof"]                              # (nd,1) constant
-    # dof-level composite momentum / inertia: subtree sum + per-dof gather
-    # fused into the single m_gdds map
     cmom_d = jnp.stack([dot(C["m_gdds"], mom[:, i, :])
                         for i in range(3)], axis=1)    # (nd,3,L)
     cio_d = {key: dot(C["m_gdds"], e_) for key, e_ in io.items()}
@@ -346,8 +311,14 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
         [sum(_sym(cio_d, i, j) * s_ang[:, j, :]
              for j in range(3)) for i in range(3)], axis=1)
     n3 = cio_w + _cross_n(cmom_d, s_lin)
-    f_crb = jnp.concatenate([n3, p3], axis=1)          # (nd,6,L)
+    return jnp.concatenate([n3, p3], axis=1)           # (nd,6,L)
 
+
+def _crba_assemble(st, C, f_crb, s, compressed, dtype):
+    """Mass matrix from f_crb: compressed ancestor-slot rows (sparse-LDL
+    path) or the dense (nd,nd,L) matrix."""
+    nd = st["nd"]
+    L = s.shape[-1]
     if compressed:
         # compressed rows only: Mc[d, slot] = f_crb[d] . s[anc_slot(d)]
         # (same inner product and summation order as the dense u)
@@ -363,64 +334,29 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
         diag_u = sum(f_crb[:, j, :] * s[:, j, :] for j in range(6))
         dvals = [diag_u[d:d + 1] + C["armature"][d:d + 1]
                  for d in range(nd)]
-        mmat = (mrows, dvals)
-    else:
-        # u[d1,d2] = f_crb[d1] . s[d2];  ut computed directly (no transpose)
-        u = sum(f_crb[:, j, :][:, None, :] * s[:, j, :][None, :, :]
-                for j in range(6))
-        ut = sum(s[:, j, :][:, None, :] * f_crb[:, j, :][None, :, :]
-                 for j in range(6))
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
-        eq = r_iota == c_iota
-        mmat = C["anc"] * u + C["anc_t1"] * ut \
-            + jnp.where(eq, C["armature"][..., None], 0.0)
+        return (mrows, dvals)
+    # u[d1,d2] = f_crb[d1] . s[d2];  ut computed directly (no transpose)
+    u = sum(f_crb[:, j, :][:, None, :] * s[:, j, :][None, :, :]
+            for j in range(6))
+    ut = sum(s[:, j, :][:, None, :] * f_crb[:, j, :][None, :, :]
+             for j in range(6))
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
+    eq = r_iota == c_iota
+    return C["anc"] * u + C["anc_t1"] * ut \
+        + jnp.where(eq, C["armature"][..., None], 0.0)
 
-    # ---- RNEA bias (engine.bias_force) ----------------------------------
-    # the three forward tree recursions (vf / v_body / a_body) and the
-    # backward force pass are linear maps over dof/body rows: one mask
-    # matmul each (see _tree_masks)
-    sq = s * v[:, None, :]                             # (nd,6,L)
-    vf = jnp.stack([dot(C["m_vf"], sq[:, j, :])
-                    for j in range(6)], axis=1)        # (nd,6,L)
-    cj = _cross_motion_n(vf, sq)                       # (nd,6,L)
-    grav = st["gravity"]
-    ones1 = jnp.ones((1, L), dtype)
-    a0 = jnp.stack([ones1 * 0.0, ones1 * 0.0, ones1 * 0.0,
-                    ones1 * float(-grav[0]), ones1 * float(-grav[1]),
-                    ones1 * float(-grav[2])], axis=1)  # (1,6,L)
-    v_stack = jnp.stack([dot(C["m_vb"], sq[:, j, :])
-                         for j in range(6)], axis=1)   # (nb,6,L)
-    a_stack = a0 + jnp.stack([dot(C["m_ab"], cj[:, j, :])
-                              for j in range(6)], axis=1)
-    iv = _apply_inertia_n(C["mass_col"], com, ic, v_stack)
-    ia = _apply_inertia_n(C["mass_col"], com, ic, a_stack)
-    f_b = ia + _cross_force_n(v_stack, iv)             # (nb,6,L)
-    ftot = jnp.stack([dot(C["m_gdds"], f_b[:, j, :])
-                      for j in range(6)], axis=1)      # (nd,6,L)
-    bias = jnp.sum(s * ftot, axis=1)                   # (nd,L)
 
-    # ---- joint limits + passive forces (engine smooth_dynamics) ---------
-    qj = q[7:]                                         # (nu,L)
-    dqj = v[6:]
-    below = jnp.maximum(C["lo"] - qj, 0.0)
-    above = jnp.maximum(qj - C["hi"], 0.0)
-    viol = ((below > 0) | (above > 0)).astype(dtype)
-    tau_lim = (st["klim"] * (below - above)
-               - viol * st["blim"] * dqj) * C["limited"]
-    qfb = -bias - C["damping"] * v
-    # (.at[6:].add lowers to scatter-add, unimplemented in Mosaic)
-    qfb = jnp.concatenate(
-        [qfb[:6], qfb[6:] + tau_lim - C["stiff_j"] * qj], axis=0)
+def _floor_topk(st, C, dot, xpos, rot, s_ang, s_lin, dtype):
+    """Floor-contact candidates, top-K deepest (engine.contact_blocks).
 
-    e = jnp.concatenate([jnp.zeros((6, L), dtype), qj - ctrl], axis=0)
-    rhspd = -bias - jkp_full * e - jkd_full * v
-
-    # ---- contact candidates: top-K deepest (engine.contact_blocks) ------
-    # world points p_i = xpos[b_i] + R(xquat[b_i]) loc_i as 12 tiny MXU
-    # matmuls with the constant body one-hot PICK (and loc-scaled PICKL_j)
-    # instead of an ncp-iteration quaternion-rotate loop of 1-sublane-row
-    # ops (rotation-matrix application == quat_rotate up to rounding)
+    World points p_i = xpos[b_i] + R(xquat[b_i]) loc_i as 12 tiny MXU
+    matmuls with the constant body one-hot PICK (and loc-scaled PICKL_j)
+    instead of an ncp-iteration quaternion-rotate loop of 1-sublane-row
+    ops (rotation-matrix application == quat_rotate up to rounding)."""
+    k = st["k"]
+    dt = st["dt"]
+    L = xpos.shape[-1]
     ncp = st["cp_local"].shape[0]
     p_all = jnp.stack(
         [dot(C["pick"], xpos[:, i, :])
@@ -462,6 +398,96 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     target = jnp.concatenate([jnp.zeros((2 * k, L), dtype)] + vn_rows,
                              axis=0)                   # (3k,L)
     mu = jnp.concatenate(mu_rows, axis=0)              # (k,L)
+    return jf, target, mu
+
+
+def _rnea_bias(st, C, dot, s, v, com, ic, dtype):
+    """RNEA bias force (engine.bias_force): the three forward tree
+    recursions (vf / v_body / a_body) and the backward force pass are
+    linear maps over dof/body rows -- one mask matmul each (_tree_masks)."""
+    L = v.shape[-1]
+    sq = s * v[:, None, :]                             # (nd,6,L)
+    vf = jnp.stack([dot(C["m_vf"], sq[:, j, :])
+                    for j in range(6)], axis=1)        # (nd,6,L)
+    cj = _cross_motion_n(vf, sq)                       # (nd,6,L)
+    grav = st["gravity"]
+    ones1 = jnp.ones((1, L), dtype)
+    a0 = jnp.stack([ones1 * 0.0, ones1 * 0.0, ones1 * 0.0,
+                    ones1 * float(-grav[0]), ones1 * float(-grav[1]),
+                    ones1 * float(-grav[2])], axis=1)  # (1,6,L)
+    v_stack = jnp.stack([dot(C["m_vb"], sq[:, j, :])
+                         for j in range(6)], axis=1)   # (nb,6,L)
+    a_stack = a0 + jnp.stack([dot(C["m_ab"], cj[:, j, :])
+                              for j in range(6)], axis=1)
+    iv = _apply_inertia_n(C["mass_col"], com, ic, v_stack)
+    ia = _apply_inertia_n(C["mass_col"], com, ic, a_stack)
+    f_b = ia + _cross_force_n(v_stack, iv)             # (nb,6,L)
+    ftot = jnp.stack([dot(C["m_gdds"], f_b[:, j, :])
+                      for j in range(6)], axis=1)      # (nd,6,L)
+    return jnp.sum(s * ftot, axis=1)                   # (nd,L)
+
+
+def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
+               compressed=False):
+    """Everything a substep needs BEFORE the SPD solves, as pure values on
+    lane-major arrays (lane width L = q.shape[-1], any size):
+
+      mmat (nd,nd,L), bias (nd,L), qfb (nd,L), e (nd,L), rhspd (nd,L),
+      jf (3k,nd,L) block rows, target (3k,L), mu (k,L)
+
+    Mirrors engine.{crba,bias_force,limit_qfrc,smooth_dynamics
+    pre-solve,contact_blocks} exactly; the kernel and the CPU unit tests
+    share this function.
+
+    With ``compressed`` (the sparse-LDL path), the first element is
+    ``(mrows, dvals)`` -- the mass matrix directly in ldl_pallas's
+    compressed ancestor-slot form -- and the dense (nd,nd,L) matrix is
+    never materialized: only the tree-coupled CRBA inner products are
+    computed (the rest of the dense matrix is structurally zero and the
+    u^T half is never needed, since compressed rows live strictly in the
+    lower triangle where anc_mask selects u)."""
+    nb, nd = st["nb"], st["nd"]
+    k = st["k"]
+    L = q.shape[-1]
+    dt = st["dt"]
+    # 0/1-mask matmuls replace the serial tree recursions: each ride the MXU
+    # as one (rows,cols)@(cols,L) contraction instead of ~nb dependent
+    # 1-sublane-row VPU adds (HIGHEST keeps f32 operands exact to ~1 ulp)
+    dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=dtype)
+
+    # ---- FK (fk_pallas level-batched composition, bit-exact vs both
+    # engine.fk and the sequential _fk_compute) -------------------------
+    xpos, xquat, com, s = _fk_compute_lvl(q, st["topo"], dtype)
+    s_ang, s_lin = s[:, :3, :], s[:, 3:, :]
+
+    # ---- CRBA (engine.crba) ---------------------------------------------
+    rot = _rot_entries(xquat)
+    ic, io = _world_inertias(C["mass_col"], C["icol"], rot, com)
+    f_crb = _crba_fcrb(st, C, dot, s, s_ang, s_lin, com, io)
+    mmat = _crba_assemble(st, C, f_crb, s, compressed, dtype)
+
+    # ---- RNEA bias (engine.bias_force) ----------------------------------
+    bias = _rnea_bias(st, C, dot, s, v, com, ic, dtype)
+
+    # ---- joint limits + passive forces (engine smooth_dynamics) ---------
+    qj = q[7:]                                         # (nu,L)
+    dqj = v[6:]
+    below = jnp.maximum(C["lo"] - qj, 0.0)
+    above = jnp.maximum(qj - C["hi"], 0.0)
+    viol = ((below > 0) | (above > 0)).astype(dtype)
+    tau_lim = (st["klim"] * (below - above)
+               - viol * st["blim"] * dqj) * C["limited"]
+    qfb = -bias - C["damping"] * v
+    # (.at[6:].add lowers to scatter-add, unimplemented in Mosaic)
+    qfb = jnp.concatenate(
+        [qfb[:6], qfb[6:] + tau_lim - C["stiff_j"] * qj], axis=0)
+
+    e = jnp.concatenate([jnp.zeros((6, L), dtype), qj - ctrl], axis=0)
+    rhspd = -bias - jkp_full * e - jkd_full * v
+
+    jf, target, mu = _floor_topk(st, C, dot, xpos, rot, s_ang, s_lin,
+                                 dtype)
 
     # ---- self-collision pair candidates (engine.pair_candidates) --------
     # one frictionless normal row per selected pair (top-kp by depth)
