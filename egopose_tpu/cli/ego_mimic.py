@@ -140,6 +140,11 @@ def main(argv=None):
         cfg, dtype, synthetic=args.synthetic)
     logger.info(f"devices: {jax.devices()}  lanes: {args.batch_lanes}  "
                 f"experts: {expert.qpos.shape}")
+    if args.num_threads != parser.get_default("num_threads"):
+        logger.info(f"--num-threads {args.num_threads} accepted for reference "
+                    f"CLI parity but has no effect here: sampling runs as "
+                    f"{args.batch_lanes} batched device lanes, not host "
+                    f"threads (use --batch-lanes to scale)")
 
     mesh = None
     if args.sp_devices is not None:
