@@ -104,11 +104,18 @@ def run(name, **patches):
         setattr(SP, _NAMES[k_], v_)
     try:
         ms = timeit(make_fn())
+    except Exception as exc:  # see run_prep: stub variants can tickle
+        # Mosaic compile bugs; skip the variant, keep the run alive
+        print(json.dumps({"variant": name, "B": B,
+                          "error": str(exc).splitlines()[0][:160]}),
+              flush=True)
+        ms = float("nan")
     finally:
         for k_ in patches:
             setattr(SP, _NAMES[k_], _orig[k_])
-    print(json.dumps({"variant": name, "B": B, "ms": round(ms, 2)}),
-          flush=True)
+    if ms == ms:
+        print(json.dumps({"variant": name, "B": B, "ms": round(ms, 2)}),
+              flush=True)
     return ms
 
 
@@ -264,20 +271,23 @@ def _stub_fcrb(st, C, dot, s, s_ang, s_lin, com, io):
 
 
 def _stub_crba_assemble(st, C, f_crb, s, compressed, dtype):
+    # dep kept rank-2 (1,L): rank-1 sources broadcast into the kernel's
+    # tiled rows crash Mosaic's ApplyVectorLayoutPass ("Check failed:
+    # limits[i] <= dim(i)"), same class as the _stub_prep note below.
     nd = st["nd"]
-    dep = f_crb[0, 0] * 1e-6                              # (L,)
+    dep = f_crb[0, 0:1] * 1e-6                            # (1,L)
     if compressed:
         from egopose_tpu.physics.ldl_pallas import dof_anc_lists
         anc = dof_anc_lists(model.anc_mask)
         mrows = [None if not len(a)
                  else jnp.zeros((len(a), dep.shape[-1]), dtype) + dep
                  for a in anc]
-        dvals = [2.0 + dep[None] for _ in range(nd)]
+        dvals = [2.0 + dep for _ in range(nd)]
         return (mrows, dvals)
     L = f_crb.shape[-1]
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
-    return jnp.where(r_iota == c_iota, 2.0 + dep, dep)
+    return jnp.where(r_iota == c_iota, 2.0 + dep[None], dep[None])
 
 
 def _stub_rnea(st, C, dot, s, v, com, ic, dtype):
@@ -303,12 +313,25 @@ def run_prep(name, **patches):
         setattr(SP, n, v_)
     try:
         ms = timeit(make_fn())
+    except Exception as exc:  # a stub can tickle Mosaic compile bugs;
+        # report and keep attributing the other stages (only works when
+        # the compile ran in the remote helper -- an in-process Mosaic
+        # crash is a SIGABRT and takes the tool with it)
+        print(json.dumps({"variant": name, "B": B,
+                          "error": str(exc).splitlines()[0][:160]}),
+              flush=True)
+        ms = None
     finally:
         for n in patches:
             setattr(SP, n, _prep_orig[n])
-    print(json.dumps({"variant": name, "B": B, "ms": round(ms, 2)}),
-          flush=True)
+    if ms is not None:
+        print(json.dumps({"variant": name, "B": B, "ms": round(ms, 2)}),
+              flush=True)
     return ms
+
+
+def _delta(base, v):
+    return None if v is None else round(base - v, 2)
 
 
 no_fcrb = run_prep("no_crba_fcrb", _crba_fcrb=_stub_fcrb)
@@ -319,9 +342,9 @@ no_rnea = run_prep("no_rnea", _rnea_bias=_stub_rnea)
 no_topk = run_prep("no_floor_topk", _floor_topk=_stub_floor_topk)
 print(json.dumps({
     "B": B,
-    "crba_fcrb_ms": round(full - no_fcrb, 2),
-    "crba_assemble_ms": round(full - no_casm, 2),
-    "crba_total_ms": round(full - no_crba, 2),
-    "rnea_ms": round(full - no_rnea, 2),
-    "floor_topk_ms": round(full - no_topk, 2),
+    "crba_fcrb_ms": _delta(full, no_fcrb),
+    "crba_assemble_ms": _delta(full, no_casm),
+    "crba_total_ms": _delta(full, no_crba),
+    "rnea_ms": _delta(full, no_rnea),
+    "floor_topk_ms": _delta(full, no_topk),
 }))
