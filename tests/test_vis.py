@@ -36,6 +36,25 @@ def test_vis_family_loads_with_reference_layouts():
                                        "humanoid_template.xml"))
 
 
+def test_orig_model_asset():
+    """The legacy pre-v1 model (reference humanoid_1205_orig.xml, global
+    coordinates) regenerated local-coords through physics/spec.py: same
+    dof/actuator layout as v1 but the original geometry (zero Hips offset,
+    0.03 head sphere, +-180 deg ranges everywhere)."""
+    import mujoco
+    from egopose_tpu.physics import parse_mjcf, build_model
+
+    path = os.path.join(MODELS, "humanoid_1205_orig.xml")
+    m = mujoco.MjModel.from_xml_path(path)
+    assert (m.nq, m.nv, m.nu) == (59, 58, 52)
+    spec = parse_mjcf(path)
+    build_model(spec)  # engine accepts it end-to-end
+    # distinct from v1: the orig Hips body sits at the world origin
+    v1 = mujoco.MjModel.from_xml_path(
+        os.path.join(MODELS, "humanoid_1205_v1.xml"))
+    assert not np.allclose(m.body_pos[1], v1.body_pos[1])
+
+
 def test_template_generation_roundtrip(tmp_path):
     """create_humanoid's template path: a skeleton written into the template
     still loads and keeps the template's option/defaults."""
