@@ -41,13 +41,14 @@ def _factor_multi(mats, n: int):
     substitutions mask it)."""
     nb = (n + PANEL - 1) // PANEL
     ns = len(mats)
+    Lw = mats[0].shape[-1]
 
     for jb in range(nb):
         j0 = jb * PANEL
         w = min(PANEL, n - j0)
         m = n - j0
-        rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 0)
-        cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, w, LANES), 1)
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, Lw), 0)
+        cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, w, Lw), 1)
 
         lcols = [[] for _ in range(ns)]
         for jj in range(w):
@@ -91,12 +92,13 @@ def _subst_fwd_multi(pairs, n: int):
     ``x_ref`` may be a ref or a sliceable ref view with shape (n, r_s, L);
     column updates are restricted to the static suffix block."""
     nb = (n + PANEL - 1) // PANEL
+    Lw = pairs[0][0].shape[-1]
 
     for jb in range(nb):
         j0 = jb * PANEL
         w = min(PANEL, n - j0)
         m = n - j0
-        rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 0)
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, Lw), 0)
 
         for jj in range(w):
             j0jj = j0 + jj
@@ -116,12 +118,13 @@ def _subst_bwd_multi(pairs, n: int):
     """Backward substitution L^T x = y for several independent pairs,
     interleaved.  Row updates are restricted to the static prefix block."""
     nb = (n + PANEL - 1) // PANEL
+    Lw = pairs[0][0].shape[-1]
 
     for jb in range(nb - 1, -1, -1):
         j0 = jb * PANEL
         w = min(PANEL, n - j0)
         mt = j0 + w
-        cols_mt = jax.lax.broadcasted_iota(jnp.int32, (mt, LANES), 0)
+        cols_mt = jax.lax.broadcasted_iota(jnp.int32, (mt, Lw), 0)
 
         for jj in range(w - 1, -1, -1):
             j = j0 + jj

@@ -31,6 +31,7 @@ Replaces the role of MuJoCo C in the reference's do_simulation
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -690,7 +691,8 @@ def _substep_kernel(*refs, st, n_frames, iters, relax, dtype):
         rest = refs[13:]
     (oq_ref, ov_ref, a_s, a2_s, x_s, xpd_s, jf_s, tgt_s, mu_s) = rest
 
-    zeros6 = jnp.zeros((6, LANES), dtype)
+    L = refs[0].shape[-1]                              # lane-block width
+    zeros6 = jnp.zeros((6, L), dtype)
     jkp_full = jnp.concatenate([zeros6, jkp_ref[...][:, 0, :]], axis=0)
     jkd_full = jnp.concatenate([zeros6, jkd_ref[...][:, 0, :]], axis=0)
     tlim = tlim_ref[...][:, 0, :]                      # (nu,L)
@@ -703,8 +705,8 @@ def _substep_kernel(*refs, st, n_frames, iters, relax, dtype):
                        None if prpk_ref is None else prpk_ref[...],
                        None if pdmp_ref is None else pdmp_ref[...],
                        None if pairc_ref is None else pairc_ref[...])
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, LANES), 1)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
     eq = r_iota == c_iota
 
     oq_ref[...] = qpos_ref[...]
@@ -915,7 +917,13 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
     c3 = 3 * k + kp
     bsz = qpos.shape[0]
     dtype = qpos.dtype
-    pad = (-bsz) % LANES
+    # lane-block width: 128 = one vreg of lanes per op; wider blocks put
+    # 2+ vregs behind every op in the kernel's long dependent chains,
+    # amortizing op-issue latency over more lanes (fewer grid steps on the
+    # single sequential TensorCore) at the cost of VMEM.
+    W = int(os.environ.get("EGOPOSE_SUBSTEP_LANES", str(LANES)))
+    assert W % LANES == 0, "lane-block width must be a multiple of 128"
+    pad = (-bsz) % W
     if pad:
         fill_q = jnp.zeros((pad, nq), dtype).at[:, 3].set(1.0)
         qpos = jnp.concatenate([qpos, fill_q], 0)
@@ -930,8 +938,8 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
     ndc, masks, bodyc, cpc, treem, cppk = _packed_consts(st)
 
     col3 = lambda x: x.T[:, None, :]                   # (B,n) -> (n,1,B)
-    bs2 = lambda d0: pl.BlockSpec((d0, LANES), lambda i: (0, i))
-    bs3 = lambda d0, d1: pl.BlockSpec((d0, d1, LANES), lambda i: (0, 0, i))
+    bs2 = lambda d0: pl.BlockSpec((d0, W), lambda i: (0, i))
+    bs3 = lambda d0, d1: pl.BlockSpec((d0, d1, W), lambda i: (0, 0, i))
     bsc = lambda d0, d1: pl.BlockSpec((d0, d1), lambda i: (0, 0))
 
     in_specs = [bs2(nq), bs2(nd), bs2(nu), bs3(nu, 1), bs3(nu, 1),
@@ -957,7 +965,7 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         functools.partial(_substep_kernel, st=st, n_frames=n_frames,
                           iters=params.iters, relax=params.relax,
                           dtype=dtype),
-        grid=(bp // LANES,),
+        grid=(bp // W,),
         in_specs=in_specs,
         out_specs=[bs2(nq), bs2(nd)],
         out_shape=[jax.ShapeDtypeStruct((nq, bp), dtype),
@@ -965,16 +973,16 @@ def _substep_tpu(m, params, n_frames, qpos, qvel, ctrl, jkp, jkd, tlim,
         scratch_shapes=[
             # dense-branch factor/substitution scratches are untouched in
             # sparse mode -- shrink them to a token row to free ~5 MB VMEM
-            pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
-                       else (nd, nd, LANES), dtype),
-            pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
-                       else (nd, nd, LANES), dtype),
-            pltpu.VMEM((nd, c3, LANES), dtype),
-            pltpu.VMEM((1, 1, LANES) if st["sparse_ldl"]
-                       else (nd, 1, LANES), dtype),
-            pltpu.VMEM((c3, nd, LANES), dtype),
-            pltpu.VMEM((c3, 1, LANES), dtype),
-            pltpu.VMEM((k, 1, LANES), dtype)],
+            pltpu.VMEM((1, 1, W) if st["sparse_ldl"]
+                       else (nd, nd, W), dtype),
+            pltpu.VMEM((1, 1, W) if st["sparse_ldl"]
+                       else (nd, nd, W), dtype),
+            pltpu.VMEM((nd, c3, W), dtype),
+            pltpu.VMEM((1, 1, W) if st["sparse_ldl"]
+                       else (nd, 1, W), dtype),
+            pltpu.VMEM((c3, nd, W), dtype),
+            pltpu.VMEM((c3, 1, W), dtype),
+            pltpu.VMEM((k, 1, W), dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
