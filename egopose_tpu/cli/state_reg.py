@@ -40,20 +40,37 @@ def get_traj_from_state_pred(state_pred, init_pos, init_heading, dt, traj_dim):
     return np.vstack(traj_pred)
 
 
-def prepare_of(of_np, fr_num, dtype):
+def prepare_of(of_np, fr_num, dtype, pad_channels=True):
     """2-channel optical flow -> padded 3-channel frames, time-major,
     padded to fr_num frames (mask returned).  fr_num must be the max chunk
     size: the dataset's final take chunk can reach cfg.fr_num + 30 frames
-    (statereg_dataset.py:98)."""
+    (statereg_dataset.py:98).
+
+    ``pad_channels=False`` keeps the raw 2 flow channels: the zero third
+    channel carries no information, so the product pipeline pads ON DEVICE
+    (pad_flow_channels) after the transfer -- one third less host memcpy
+    and host->device bandwidth on the (T,224,224) frames."""
     t = of_np.shape[0]
-    of = np.concatenate([of_np, np.zeros(of_np.shape[:-1] + (1,),
-                                         of_np.dtype)], axis=-1)
+    of = of_np
+    if pad_channels:
+        of = np.concatenate([of, np.zeros(of.shape[:-1] + (1,),
+                                          of.dtype)], axis=-1)
     if t < fr_num:
         pad = np.repeat(of[-1:], fr_num - t, axis=0)
         of = np.concatenate([of, pad], axis=0)
     mask = np.zeros(fr_num, dtype)
     mask[:t] = 1.0
-    return of[:, None].astype(dtype), mask  # (T, 1, H, W, 3)
+    return of[:, None].astype(dtype), mask  # (T, 1, H, W, 3 or 2)
+
+
+def pad_flow_channels(of):
+    """Device-side half of prepare_of(pad_channels=False): append the zero
+    third channel the CNN stems expect.  No-op on already-3-channel input."""
+    import jax.numpy as jnp
+    if of.shape[-1] == 2:
+        of = jnp.concatenate(
+            [of, jnp.zeros(of.shape[:-1] + (1,), of.dtype)], axis=-1)
+    return of
 
 
 def main(argv=None):
@@ -186,8 +203,9 @@ def main(argv=None):
             (T', B) so variable-length tail chunks and zero-padded batch
             slots contribute nothing to the loss.  ``of`` may arrive as
             float16 (halves the host->device transfer, which dominates at
-            224x224 on tunneled dev chips); cast up on device."""
-            of = of.astype(dtype)
+            224x224 on tunneled dev chips) and 2-channel (the zero third
+            channel is appended here, not shipped); cast/pad on device."""
+            of = pad_flow_channels(of.astype(dtype))
             def loss_fn(params):
                 vs = {**variables, "params": params}
                 pred, updates = net.apply(
@@ -214,7 +232,8 @@ def main(argv=None):
                 num = traj_np.shape[0] - 2 * fr_margin
                 if num <= 0:
                     continue
-                of, _ = prepare_of(of_np, chunk_max, dtype)
+                of, _ = prepare_of(of_np, chunk_max, dtype,
+                                   pad_channels=False)
                 gt = np.zeros((gt_len, state_dim), dtype)
                 gt[:num] = traj_np[fr_margin:-fr_margin, :state_dim]
                 mask = np.zeros(gt_len, dtype)
@@ -305,7 +324,8 @@ def main(argv=None):
 
         @jax.jit
         def fwd(variables, of):
-            return net.apply(variables, of, train=False)[:, 0]
+            return net.apply(variables, pad_flow_channels(of),
+                             train=False)[:, 0]
 
         n_sample, ep_loss = 0, 0.0
         res_pred, res_orig, meta = {}, {}, {}
@@ -321,7 +341,8 @@ def main(argv=None):
                 num = traj_np.shape[0] - 2 * fr_margin
                 if num <= 0:
                     continue
-                of, mask = prepare_of(of_np, chunk_max, dtype)
+                of, mask = prepare_of(of_np, chunk_max, dtype,
+                                      pad_channels=False)
                 pred = np.asarray(fwd(variables, jnp.asarray(of)))
                 pred = pred[fr_margin:fr_margin + num]
                 gt = traj_np[fr_margin:-fr_margin, :state_dim]

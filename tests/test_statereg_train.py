@@ -53,3 +53,26 @@ def test_statereg_dropout_keys_differ_per_step():
                       rngs={"dropout": jax.random.fold_in(base, step)})
             for step in (0, 1)]
     assert np.abs(np.asarray(outs[0]) - np.asarray(outs[1])).max() > 1e-6
+
+
+def test_two_channel_ingest_matches_host_padding():
+    """The production pipeline ships raw 2-channel flow and appends the zero
+    third channel on device (pad_flow_channels); result must be bit-identical
+    to the old host-side 3-channel prepare_of path, including tail padding
+    and the mask."""
+    import jax.numpy as jnp
+    from egopose_tpu.cli.state_reg import prepare_of, pad_flow_channels
+
+    rng = np.random.RandomState(3)
+    for t, fr_num in [(7, 12), (12, 12)]:
+        of_np = rng.randn(t, 8, 8, 2).astype(np.float32)
+        of3, mask3 = prepare_of(of_np, fr_num, np.float32)
+        of2, mask2 = prepare_of(of_np, fr_num, np.float32,
+                                pad_channels=False)
+        assert of2.shape[-1] == 2 and of3.shape[-1] == 3
+        np.testing.assert_array_equal(mask2, mask3)
+        padded = np.asarray(pad_flow_channels(jnp.asarray(of2)))
+        np.testing.assert_array_equal(padded, of3)
+        # idempotent on already-3-channel input
+        np.testing.assert_array_equal(
+            np.asarray(pad_flow_channels(jnp.asarray(of3))), of3)

@@ -70,7 +70,9 @@ def run_pipeline(reader, reqs, tdtype, do_put):
         buf = []
         for take, s, c in reqs:
             of_np = reader.read_batch([(take, s, c)])[0]
-            of, _ = prepare_of(of_np, FR_NUM, np.float32)
+            # production pipeline ships 2 channels; the zero third channel
+            # is appended on device (state_reg.pad_flow_channels)
+            of, _ = prepare_of(of_np, FR_NUM, np.float32, pad_channels=False)
             buf.append(of[:, 0])
             if len(buf) == N_CHUNKS:
                 arr = np.stack(buf, 1).astype(tdtype)
