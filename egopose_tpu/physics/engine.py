@@ -133,6 +133,27 @@ class ContactParams(NamedTuple):
                              # Ignored outside the resident kernel.
     klim: float = 200.0      # joint-limit stiffness (N m / rad)
     blim: float = 5.0        # joint-limit damping (N m s / rad)
+    prep_refresh: int = 1    # recompute the configuration-dependent prep
+                             # (FK, CRBA mass matrix, RNEA bias, contact
+                             # candidates/Jacobian and the factorizations
+                             # derived from them) every `prep_refresh`-th
+                             # substep, reusing the frozen geometry for the
+                             # substeps in between; the per-substep solves,
+                             # PD error terms, joint limits, torque clamp,
+                             # sweep and integration always use fresh q/v.
+                             # At 450 Hz the configuration drifts ~|v|*2.2ms
+                             # per substep, so short reuse windows track
+                             # MuJoCo C within the same golden bounds as
+                             # full recompute (measured in
+                             # tests/test_physics_golden.py and
+                             # tools/sweep_contact_params.py) while skipping
+                             # the dominant kernel stages (factor/Delassus/
+                             # CRBA) on the reused substeps.  1 = reference
+                             # behavior (MuJoCo recomputes everything every
+                             # substep).  Applies to the split scan path and
+                             # the substep-resident kernel (sparse-LDL mode);
+                             # ignored by the rejected pd_fused/fused_solver
+                             # variants.
 
 
 # substep_resident on by default: batched TPU callers (sampling/eval scans)
@@ -653,35 +674,47 @@ def pd_control_step(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         return _pd_fused_control_step(m, qpos, qvel, ctrl, jkp, jkd,
                                       torque_lim, n_frames, params)
 
-    def substep(carry, _):
+    def group(carry, _, nsub):
+        """`nsub` substeps sharing one configuration-dependent prep: FK,
+        mass matrix, bias force and contact geometry are computed from the
+        state at group entry and reused (prep_refresh semantics); the PD
+        error, joint limits, solves against the frozen systems, contact
+        sweep and integration run on fresh q/v every substep."""
         qp, qv = carry
         kin = fk(m, qp)
         mm = crba(m, kin)
         qfrc_bias = bias_force(m, kin, qv)
-        torque = stable_pd_torque(m, qp, qv, ctrl, jkp, jkd, kin, mm, qfrc_bias)
-        torque = jnp.clip(torque, -torque_lim, torque_lim)
-        tau = jnp.zeros(m.ndof, qp.dtype).at[jnp.asarray(m.actuator_dof)].add(
-            torque * m.actuator_gear)
-        qfrc, a, _ = smooth_dynamics(m, qp, qv, tau, params, kin, mm,
-                                     qfrc_bias)
         jf, target, mu = contact_blocks(m, kin, params)
-        if params.fused_solver:
-            fused = _fused_solver(params.iters, params.relax)
-            qv = fused(a, qfrc, qv, jf, target, mu, m.timestep)
-        else:
-            sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T],
-                                               axis=1))
-            qacc, w = sol[:, 0], sol[:, 1:]
-            v_pred = qv + m.timestep * qacc
-            qv = contact_sweep_blocks(jf, w, target, mu, v_pred,
-                                      params.iters, params.relax)
-        qp = integrate(m, qp, qv, m.timestep)
+        for _i in range(nsub):
+            torque = stable_pd_torque(m, qp, qv, ctrl, jkp, jkd, kin, mm,
+                                      qfrc_bias)
+            torque = jnp.clip(torque, -torque_lim, torque_lim)
+            tau = jnp.zeros(m.ndof, qp.dtype).at[
+                jnp.asarray(m.actuator_dof)].add(torque * m.actuator_gear)
+            qfrc, a, _ = smooth_dynamics(m, qp, qv, tau, params, kin, mm,
+                                         qfrc_bias)
+            if params.fused_solver:
+                fused = _fused_solver(params.iters, params.relax)
+                qv = fused(a, qfrc, qv, jf, target, mu, m.timestep)
+            else:
+                sol = spd_solve(a, jnp.concatenate([qfrc[:, None], jf.T],
+                                                   axis=1))
+                qacc, w = sol[:, 0], sol[:, 1:]
+                v_pred = qv + m.timestep * qacc
+                qv = contact_sweep_blocks(jf, w, target, mu, v_pred,
+                                          params.iters, params.relax)
+            qp = integrate(m, qp, qv, m.timestep)
         return (qp, qv), None
 
+    r = max(1, int(params.prep_refresh)) if not params.fused_solver else 1
     # unroll=3: XLA fuses across substep boundaries (integrate -> next fk);
     # +10% on v5e at B=1024, unroll=5 measured no better
-    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None,
-                                   length=n_frames, unroll=_SUBSTEP_UNROLL)
+    (qpos, qvel), _ = jax.lax.scan(
+        functools.partial(group, nsub=r), (qpos, qvel), None,
+        length=n_frames // r,
+        unroll=_SUBSTEP_UNROLL if r == 1 else 1)
+    if n_frames % r:
+        (qpos, qvel), _ = group((qpos, qvel), None, n_frames % r)
     return qpos, qvel
 
 

@@ -291,33 +291,26 @@ def _sweep_lam(acc, bhat, mu, k, iters, relax):
     return lam
 
 
-def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, v_pred, invd,
-                       n: int, c: int, k: int, iters: int, relax: float,
-                       sup_segs=None):
-    """Symmetric Delassus accumulation + sweep for the forward-only LDL
-    contact path.  ``x_s`` holds Y = L^-T J^T (ldl_tsolve output) rather
-    than the full W = Minv J^T, and ``invd`` the factorization's per-dof
-    1/D rows, so A_c = J Minv J^T = Y^T D^-1 Y.  Each per-dof term
-    (invd_d * y_d) (x) y_d is symmetric in exact arithmetic, so only the 6
-    lower-triangular (k,k) direction blocks are accumulated -- 2/3 of the
-    rank-1 FMA/broadcast passes of the general J.W form -- and the upper
-    blocks are mirrored with three tiny sublane transposes.  Returns lam;
-    the caller finishes v_new = v_pred + L^-1 D^-1 (Y lam) with one
-    single-column ldl_fsolve (the c substitution columns are never run).
-    All indexing is static, so it runs on refs in the kernel and on plain
-    values in tests."""
-    vp_row = v_pred[:, 0, :][None]                        # (1,n,L)
-    b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
-    bhat = b - target_ref[...]
-
-    L = v_pred.shape[-1]
+def _delassus_sym(x_s, invd, n: int, c: int, k: int, dtype, lanes: int,
+                  sup_segs=None):
+    """Symmetric Delassus assembly for the forward-only LDL contact path:
+    A_c = J Minv J^T = Y^T D^-1 Y from ``x_s`` holding Y = L^-T J^T
+    (ldl_tsolve output) and ``invd`` the factorization's per-dof 1/D rows.
+    Each per-dof term (invd_d * y_d) (x) y_d is symmetric in exact
+    arithmetic, so only the 6 lower-triangular (k,k) direction blocks are
+    accumulated -- 2/3 of the rank-1 FMA/broadcast passes of the general
+    J.W form -- and the upper blocks are mirrored with three tiny sublane
+    transposes.  Returns the assembled (c,c,L) operator; depends only on
+    the factorization and contact geometry, so under a prep-refresh cadence
+    it is computed once per refresh and reused by every sweep in the
+    group."""
     # row groups: 3 friction blocks of k rows + optionally c-3k frictionless
     # pair rows as a 4th group
     groups = [(0, k), (k, k), (2 * k, k)]
     if c > 3 * k:
         groups.append((3 * k, c - 3 * k))
     ng = len(groups)
-    blocks = [[jnp.zeros((groups[a][1], groups[bb][1], L), v_pred.dtype)
+    blocks = [[jnp.zeros((groups[a][1], groups[bb][1], lanes), dtype)
                for bb in range(a + 1)] for a in range(ng)]
     for a0, b0 in (sup_segs if sup_segs is not None else ((0, n),)):
         for d0 in range(a0, b0, PANEL):
@@ -336,8 +329,32 @@ def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, v_pred, invd,
     rows = [jnp.concatenate(
         [blocks[a][bb] if bb <= a else jnp.swapaxes(blocks[bb][a], 0, 1)
          for bb in range(ng)], axis=1) for a in range(ng)]
-    acc = jnp.concatenate(rows, axis=0)                   # (c,c,L)
+    return jnp.concatenate(rows, axis=0)                  # (c,c,L)
+
+
+def _sweep_lam_from(acc, jf_ref, target_ref, mu_ref, v_pred,
+                    k: int, iters: int, relax: float):
+    """Projected sweep against a pre-assembled Delassus ``acc``: fresh
+    velocity residual bhat = J v_pred - target, then _sweep_lam."""
+    vp_row = v_pred[:, 0, :][None]                        # (1,n,L)
+    b = jnp.sum(jf_ref[...] * vp_row, axis=1, keepdims=True)
+    bhat = b - target_ref[...]
     return _sweep_lam(acc, bhat, mu_ref[...], k, iters, relax)
+
+
+def _contact_sweep_sym(jf_ref, target_ref, mu_ref, x_s, v_pred, invd,
+                       n: int, c: int, k: int, iters: int, relax: float,
+                       sup_segs=None):
+    """Symmetric Delassus accumulation + projected sweep (the one-shot
+    composition of _delassus_sym + _sweep_lam_from).  Returns lam; the
+    caller finishes v_new = v_pred + L^-1 D^-1 (Y lam) with one
+    single-column ldl_fsolve (the c substitution columns are never run).
+    All indexing is static, so it runs on refs in the kernel and on plain
+    values in tests."""
+    acc = _delassus_sym(x_s, invd, n, c, k, v_pred.dtype,
+                        v_pred.shape[-1], sup_segs)
+    return _sweep_lam_from(acc, jf_ref, target_ref, mu_ref, v_pred,
+                           k, iters, relax)
 
 
 def _fused_contact_kernel(a_ref, rhs_ref, jf_ref, target_ref, mu_ref,

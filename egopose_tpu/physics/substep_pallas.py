@@ -43,8 +43,9 @@ from .fk_pallas import _build_topo, _fk_compute_lvl
 from .model import golden_min01
 from .ldl_pallas import (anc_segments, dof_anc_lists, ldl_factor, ldl_fsolve,
                          ldl_solve, ldl_tsolve)
-from .linalg_pallas import (LANES, _contact_sweep, _contact_sweep_sym,
-                            _factor_multi, _subst_blocked, _subst_multi)
+from .linalg_pallas import (LANES, _contact_sweep, _delassus_sym,
+                            _factor_multi, _subst_blocked, _subst_multi,
+                            _sweep_lam_from)
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +140,7 @@ def _build_static(m, params):
         margin=float(params.margin), beta=float(params.beta),
         slop=float(params.slop), klim=float(params.klim),
         blim=float(params.blim),
+        prep_refresh=max(1, int(params.prep_refresh)),
     )
 
 
@@ -428,28 +430,20 @@ def _rnea_bias(st, C, dot, s, v, com, ic, dtype):
     return jnp.sum(s * ftot, axis=1)                   # (nd,L)
 
 
-def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
-               compressed=False):
-    """Everything a substep needs BEFORE the SPD solves, as pure values on
-    lane-major arrays (lane width L = q.shape[-1], any size):
+def _lane_prep_geom(st, C, q, v, dtype, compressed=False):
+    """The configuration-dependent half of the substep prep: FK, CRBA mass
+    matrix, RNEA bias and the contact candidates/Jacobian, as pure values on
+    lane-major arrays.  Returns (mmat, bias, jf, target, mu).  Under a
+    prep-refresh cadence (ContactParams.prep_refresh) this is the part
+    computed once per refresh and frozen for the substeps in between.
 
-      mmat (nd,nd,L), bias (nd,L), qfb (nd,L), e (nd,L), rhspd (nd,L),
-      jf (3k,nd,L) block rows, target (3k,L), mu (k,L)
-
-    Mirrors engine.{crba,bias_force,limit_qfrc,smooth_dynamics
-    pre-solve,contact_blocks} exactly; the kernel and the CPU unit tests
-    share this function.
-
-    With ``compressed`` (the sparse-LDL path), the first element is
+    With ``compressed`` (the sparse-LDL path), ``mmat`` is
     ``(mrows, dvals)`` -- the mass matrix directly in ldl_pallas's
     compressed ancestor-slot form -- and the dense (nd,nd,L) matrix is
     never materialized: only the tree-coupled CRBA inner products are
     computed (the rest of the dense matrix is structurally zero and the
     u^T half is never needed, since compressed rows live strictly in the
     lower triangle where anc_mask selects u)."""
-    nb, nd = st["nb"], st["nd"]
-    k = st["k"]
-    L = q.shape[-1]
     dt = st["dt"]
     # 0/1-mask matmuls replace the serial tree recursions: each ride the MXU
     # as one (rows,cols)@(cols,L) contraction instead of ~nb dependent
@@ -471,7 +465,27 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
     # ---- RNEA bias (engine.bias_force) ----------------------------------
     bias = _rnea_bias(st, C, dot, s, v, com, ic, dtype)
 
-    # ---- joint limits + passive forces (engine smooth_dynamics) ---------
+    jf, target, mu = _floor_topk(st, C, dot, xpos, rot, s_ang, s_lin,
+                                 dtype)
+
+    # ---- self-collision pair candidates (engine.pair_candidates) --------
+    # one frictionless normal row per selected pair (top-kp by depth)
+    kp = st["kp"]
+    if kp:
+        phi_pair, n_pair, p_pair = _pair_narrowphase(st, C, xpos, rot,
+                                                     dot, dtype)
+        pair_rows, pair_vn = _pair_select(st, C, s_lin, s_ang, phi_pair,
+                                          n_pair, p_pair, dt, dtype)
+        jf = jnp.concatenate([jf] + pair_rows, axis=0)  # (3k+kp,nd,L)
+        target = jnp.concatenate([target] + pair_vn, axis=0)
+    return mmat, bias, jf, target, mu
+
+
+def _lane_pd_rhs(st, C, q, v, ctrl, bias, jkp_full, jkd_full, dtype):
+    """The per-substep (elementwise) half of the prep: joint limits +
+    passive forces and the stable-PD error/rhs, from fresh q/v against a
+    (possibly frozen) bias.  Returns (qfb, e, rhspd)."""
+    L = q.shape[-1]
     qj = q[7:]                                         # (nu,L)
     dqj = v[6:]
     below = jnp.maximum(C["lo"] - qj, 0.0)
@@ -486,20 +500,24 @@ def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
 
     e = jnp.concatenate([jnp.zeros((6, L), dtype), qj - ctrl], axis=0)
     rhspd = -bias - jkp_full * e - jkd_full * v
+    return qfb, e, rhspd
 
-    jf, target, mu = _floor_topk(st, C, dot, xpos, rot, s_ang, s_lin,
-                                 dtype)
 
-    # ---- self-collision pair candidates (engine.pair_candidates) --------
-    # one frictionless normal row per selected pair (top-kp by depth)
-    kp = st["kp"]
-    if kp:
-        phi_pair, n_pair, p_pair = _pair_narrowphase(st, C, xpos, rot,
-                                                     dot, dtype)
-        pair_rows, pair_vn = _pair_select(st, C, s_lin, s_ang, phi_pair,
-                                          n_pair, p_pair, dt, dtype)
-        jf = jnp.concatenate([jf] + pair_rows, axis=0)  # (3k+kp,nd,L)
-        target = jnp.concatenate([target] + pair_vn, axis=0)
+def _lane_prep(st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
+               compressed=False):
+    """Everything a substep needs BEFORE the SPD solves
+    (_lane_prep_geom + _lane_pd_rhs at the same state):
+
+      mmat (nd,nd,L), bias (nd,L), qfb (nd,L), e (nd,L), rhspd (nd,L),
+      jf (3k,nd,L) block rows, target (3k,L), mu (k,L)
+
+    Mirrors engine.{crba,bias_force,limit_qfrc,smooth_dynamics
+    pre-solve,contact_blocks} exactly; the kernel and the CPU unit tests
+    share this function."""
+    mmat, bias, jf, target, mu = _lane_prep_geom(st, C, q, v, dtype,
+                                                 compressed)
+    qfb, e, rhspd = _lane_pd_rhs(st, C, q, v, ctrl, bias, jkp_full,
+                                 jkd_full, dtype)
     return mmat, bias, qfb, e, rhspd, jf, target, mu
 
 
@@ -712,13 +730,19 @@ def _substep_kernel(*refs, st, n_frames, iters, relax, dtype):
     oq_ref[...] = qpos_ref[...]
     ov_ref[...] = qvel_ref[...]
 
-    def substep(_, carry):
-        q = oq_ref[...]                                # (nq,L)
-        v = ov_ref[...]                                # (nd,L)
+    # prep-refresh cadence (ContactParams.prep_refresh): the group below
+    # computes the configuration-dependent prep (FK/CRBA/RNEA/contact
+    # geometry) and the factorizations/Delassus derived from it ONCE, then
+    # runs `nsub` substeps against the frozen systems -- fresh PD error,
+    # joint limits, solves, sweep and integration each substep.  Sparse-LDL
+    # mode only (the dense branch keeps nsub == 1).
+    rr = st["prep_refresh"] if st["sparse_ldl"] else 1
 
-        mmat, bias, qfb, e, rhspd, jf, target, mu = _lane_prep(
-            st, C, q, v, ctrl, jkp_full, jkd_full, dtype,
-            compressed=st["sparse_ldl"])
+    def run_group(nsub):
+        q0 = oq_ref[...]                               # (nq,L)
+        v0 = ov_ref[...]                               # (nd,L)
+        mmat, bias, jf, target, mu = _lane_prep_geom(
+            st, C, q0, v0, dtype, compressed=st["sparse_ldl"])
 
         jf_s[...] = jf                                 # (3k,nd,L)
         tgt_s[...] = target[:, None, :]
@@ -733,74 +757,91 @@ def _substep_kernel(*refs, st, n_frames, iters, relax, dtype):
             anc = st["anc_dofs"]
             mr, dv = mmat                              # compressed prep
 
-            # ---- stable-PD solve (engine.stable_pd_torque) --------------
-            mr_pd = list(mr)
+            # ---- frozen factorizations (once per refresh) ----------------
+            mr_pd = list(mr)                           # copy BEFORE the dyn
             d_pd = [dv[i] + dt * jkd_full[i:i + 1] for i in range(nd)]
-            invd_pd = ldl_factor(mr_pd, d_pd, anc)
-            xpd = [rhspd[i:i + 1] for i in range(nd)]
-            ldl_solve(mr_pd, invd_pd, anc, xpd)
-            qacc_pd = jnp.concatenate(xpd, axis=0)     # (nd,L)
-        else:
-            # Dense blocked Cholesky: the PD and dynamics factorizations are
-            # independent (both derive from mmat); interleave them so the
-            # second rides in the first one's latency shadow.
-            a_s[...] = mmat + jnp.where(eq, dt * jkd_full[:, None, :], 0.0)
-            a2_s[...] = mmat + jnp.where(eq,
-                                         dt * C["damping"][..., None], 0.0)
-            _factor_multi([a_s, a2_s], nd)
-            xpd_s[...] = rhspd[:, None, :]
-            x_s[...] = jt
-            _subst_multi([(a_s, xpd_s), (a2_s, x_s)], nd)
-            qacc_pd = xpd_s[...][:, 0, :]              # (nd,L)
-
-        torque = -jkp_full[6:] * e[6:] \
-            - jkd_full[6:] * (v[6:] + dt * qacc_pd[6:])
-        torque = jnp.clip(torque, -tlim, tlim)
-        qfrc = jnp.concatenate([qfb[:6], qfb[6:] + torque * C["gear"]],
-                               axis=0)
-
-        # ---- dynamics solve: qacc + Delassus columns --------------------
-        if st["sparse_ldl"]:
-            # forward-only contact columns: only the L^-T sweep runs on the
-            # 3k J^T columns (Y = L^-T J^T); the Delassus is assembled as
-            # Y^T D^-1 Y from its 6 lower-triangular blocks inside
-            # _contact_sweep_sym, and the D/L substitutions run on exactly
-            # two single columns (qacc and Y lam) instead of 1+3k
+            invd_pd = ldl_factor(mr_pd, d_pd, anc)     # factor mutates mr_pd
             d_dyn = [dv[i] + dt * C["damping"][i:i + 1] for i in range(nd)]
-            invd_dyn = ldl_factor(mr, d_dyn, anc)
-            dq = qfrc * dt
-            xv = [jnp.concatenate([dq[i:i + 1], jt[i]], axis=0)
-                  for i in range(nd)]                  # (1+c3,L) per dof
-            ldl_tsolve(mr, anc, xv)
-            x0 = [xv[i][0:1] for i in range(nd)]
-            ldl_fsolve(mr, invd_dyn, anc, x0)
+            invd_dyn = ldl_factor(mr, d_dyn, anc)      # ...and this one mr
+            # forward-only contact columns: only the L^-T sweep runs on the
+            # c3 J^T columns (Y = L^-T J^T); the Delassus G = Y^T D^-1 Y is
+            # assembled once from its lower-triangular blocks and reused by
+            # every sweep in the group; the D/L substitutions run on exactly
+            # two single columns per substep (qacc and Y lam) instead of 1+c3
+            yv = [jt[i] for i in range(nd)]            # (c3,L) per dof
+            ldl_tsolve(mr, anc, yv)
             for i in range(nd):
-                x_s[pl.ds(i, 1), :, :] = xv[i][1:][None]   # Y rows
-            qacc_col = jnp.concatenate(x0, axis=0)
-            v_pred = (v + qacc_col)[:, None, :]
+                x_s[pl.ds(i, 1), :, :] = yv[i][None]   # Y rows
+            acc = _delassus_sym(x_s, invd_dyn, nd, c3, k, dtype, L,
+                                sup_segs=st["sup_segs"])
 
-            lam = _contact_sweep_sym(jf_s, tgt_s, mu_s, x_s, v_pred,
-                                     invd_dyn, nd, c3, k, iters, relax,
-                                     sup_segs=st["sup_segs"])
-            u = jnp.sum(x_s[...] * lam[:, 0, :][None], axis=1,
-                        keepdims=True)                 # Y lam (nd,1,L)
-            uv = [u[i, :, :] for i in range(nd)]
-            ldl_fsolve(mr, invd_dyn, anc, uv)
-            v_new = v + qacc_col + jnp.concatenate(uv, axis=0)
-        else:
-            xpd_s[...] = (qfrc * dt)[:, None, :]       # reuse for qacc col
-            _subst_blocked(a2_s, xpd_s, nd)
-            v_pred = v[:, None, :] + xpd_s[...]
+        for _i in range(nsub):
+            q = oq_ref[...]                            # (nq,L)
+            v = ov_ref[...]                            # (nd,L)
+            qfb, e, rhspd = _lane_pd_rhs(st, C, q, v, ctrl, bias,
+                                         jkp_full, jkd_full, dtype)
 
-            v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, v_pred,
-                                   nd, c3, k, iters, relax, xcol0=0,
-                                   sup_segs=st["sup_segs"])[:, 0, :]
+            if st["sparse_ldl"]:
+                # ---- stable-PD solve (engine.stable_pd_torque) ----------
+                xpd = [rhspd[i:i + 1] for i in range(nd)]
+                ldl_solve(mr_pd, invd_pd, anc, xpd)
+                qacc_pd = jnp.concatenate(xpd, axis=0)  # (nd,L)
+            else:
+                # Dense blocked Cholesky: the PD and dynamics factorizations
+                # are independent (both derive from mmat); interleave them so
+                # the second rides in the first one's latency shadow.
+                a_s[...] = mmat + jnp.where(eq, dt * jkd_full[:, None, :],
+                                            0.0)
+                a2_s[...] = mmat + jnp.where(
+                    eq, dt * C["damping"][..., None], 0.0)
+                _factor_multi([a_s, a2_s], nd)
+                xpd_s[...] = rhspd[:, None, :]
+                x_s[...] = jt
+                _subst_multi([(a_s, xpd_s), (a2_s, x_s)], nd)
+                qacc_pd = xpd_s[...][:, 0, :]          # (nd,L)
 
-        oq_ref[...] = _lane_integrate(st, q, v_new, dtype)
-        ov_ref[...] = v_new
+            torque = -jkp_full[6:] * e[6:] \
+                - jkd_full[6:] * (v[6:] + dt * qacc_pd[6:])
+            torque = jnp.clip(torque, -tlim, tlim)
+            qfrc = jnp.concatenate([qfb[:6], qfb[6:] + torque * C["gear"]],
+                                   axis=0)
+
+            # ---- dynamics solve: qacc column + frozen contact operator --
+            if st["sparse_ldl"]:
+                dq = qfrc * dt
+                x0 = [dq[i:i + 1] for i in range(nd)]
+                ldl_solve(mr, invd_dyn, anc, x0)
+                qacc_col = jnp.concatenate(x0, axis=0)
+                v_pred = (v + qacc_col)[:, None, :]
+
+                lam = _sweep_lam_from(acc, jf_s, tgt_s, mu_s, v_pred,
+                                      k, iters, relax)
+                u = jnp.sum(x_s[...] * lam[:, 0, :][None], axis=1,
+                            keepdims=True)             # Y lam (nd,1,L)
+                uv = [u[i, :, :] for i in range(nd)]
+                ldl_fsolve(mr, invd_dyn, anc, uv)
+                v_new = v + qacc_col + jnp.concatenate(uv, axis=0)
+            else:
+                xpd_s[...] = (qfrc * dt)[:, None, :]   # reuse for qacc col
+                _subst_blocked(a2_s, xpd_s, nd)
+                v_pred = v[:, None, :] + xpd_s[...]
+
+                v_new = _contact_sweep(jf_s, tgt_s, mu_s, x_s, v_pred,
+                                       nd, c3, k, iters, relax, xcol0=0,
+                                       sup_segs=st["sup_segs"])[:, 0, :]
+
+            oq_ref[...] = _lane_integrate(st, q, v_new, dtype)
+            ov_ref[...] = v_new
+
+    n_groups, rem = divmod(n_frames, rr)
+
+    def group_body(_, carry):
+        run_group(rr)
         return carry
 
-    jax.lax.fori_loop(0, n_frames, substep, 0)
+    jax.lax.fori_loop(0, n_groups, group_body, 0)
+    if rem:
+        run_group(rem)
 
 
 # ---------------------------------------------------------------------------

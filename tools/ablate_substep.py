@@ -55,27 +55,26 @@ resident = E.DEFAULT_CONTACT._replace(
     substep_resident=True,
     sparse_ldl=os.environ.get("SPARSE_LDL", "1") == "1")
 
-_NAMES = {"prep": "_lane_prep", "lfac": "ldl_factor", "lsol": "ldl_solve",
-          "ltsol": "ldl_tsolve", "lfsol": "ldl_fsolve",
-          "sweep": "_contact_sweep", "sweep_sym": "_contact_sweep_sym"}
+_NAMES = {"prep": "_lane_prep_geom", "lfac": "ldl_factor",
+          "lsol": "ldl_solve", "ltsol": "ldl_tsolve", "lfsol": "ldl_fsolve",
+          "sweep": "_contact_sweep", "sweep_sym": "_sweep_lam_from",
+          "delassus": "_delassus_sym"}
 _orig = {k: getattr(SP, v) for k, v in _NAMES.items()}
 
 
-def _stub_prep(st, C, q, v, ctrl_, jkp_full, jkd_full, dtype):
-    """Right-shaped constants with a trivial q/v dependency (defeats DCE)."""
+def _stub_prep(st, C, q, v, dtype, compressed=False):
+    """Right-shaped constants with a trivial q/v dependency (defeats DCE);
+    matches _lane_prep_geom's (mmat, bias, jf, target, mu) contract."""
     nd, k, L = st["nd"], st["k"], q.shape[-1]
     dep = q[0] * 1e-6                                     # (L,)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (nd, nd, L), 1)
     mmat = jnp.where(r_iota == c_iota, 2.0 + dep, 0.0)
     bias = jnp.zeros((nd, L), dtype) + dep
-    qfb = -bias
-    e = jnp.zeros((nd, L), dtype) + v * 1e-6
-    rhspd = -bias - e
     jf = jnp.zeros((3 * k, nd, L), dtype) + dep
     target = jnp.zeros((3 * k, L), dtype) + dep
     mu = jnp.zeros((k, L), dtype) + 0.5
-    return mmat, bias, qfb, e, rhspd, jf, target, mu
+    return mmat, bias, jf, target, mu
 
 
 def make_fn():
@@ -123,9 +122,16 @@ def _stub_ldl_factor(mrows, dvals, anc):
     return [1.0 / jnp.maximum(d, 1e-12) for d in dvals]
 
 
-def _stub_sweep_sym(jf, tgt, mu, x_s, v_pred, invd, n, c, *a, **kw):
-    return jnp.zeros((c, 1, v_pred.shape[-1]), v_pred.dtype) \
-        + v_pred[:c] * 1e-6
+def _stub_sweep_sym(acc, jf, tgt, mu, v_pred, k_, *a, **kw):
+    c_ = acc.shape[0]
+    return jnp.zeros((c_, 1, v_pred.shape[-1]), v_pred.dtype) \
+        + v_pred[:c_] * 1e-6
+
+
+def _stub_delassus(x_s, invd, n, c_, *a, **kw):
+    L_ = x_s.shape[-1] if hasattr(x_s, "shape") else x_s[...].shape[-1]
+    return jnp.zeros((c_, c_, L_), jnp.float32) \
+        + x_s[0:1, 0:1, :] * 1e-6 + 2.0
 
 
 full = run("full")
@@ -135,6 +141,7 @@ no_sweep = run("no_sweep",
 no_solve = run("no_solve",
                sweep=lambda jf, tgt, mu, x_s, v_pred, *a, **kw: v_pred,
                sweep_sym=_stub_sweep_sym,
+               delassus=_stub_delassus,
                lfac=_stub_ldl_factor,
                lsol=lambda mrows, invd, anc, xv: None,
                ltsol=lambda mrows, anc, xv: None,
