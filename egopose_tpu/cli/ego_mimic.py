@@ -38,8 +38,9 @@ def build_world(cfg, dtype, synthetic=False, synthetic_takes=None,
     from ..utils.config import make_env_params
 
     from ..utils.assets import find_model_xml
+    from ..utils.config import apply_model_params
     xml = find_model_xml(model_xml or cfg.mujoco_model)
-    spec = parse_mjcf(xml)
+    spec = apply_model_params(parse_mjcf(xml), cfg)
     model = build_model(spec, dtype=dtype)
     tables = envs.make_body_tables(spec)
     # obs dim from config layout

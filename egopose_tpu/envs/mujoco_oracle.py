@@ -10,8 +10,12 @@ eval metrics compared 1:1 against the JAX-engine rollout (SURVEY 7.4.1:
 sim-to-sim fidelity is the top-ranked hard part).
 
 Host-side by design: this is the golden oracle, not a production path.  The
-batch dimension is a python loop over takes; everything stays float64 as in
-the reference.
+batch dimension is a python loop over takes; the oracle's own arithmetic is
+float64 as in the reference.  NOTE: in the closed loop (ego_mimic_eval
+--engine mujoco) the (qpos, qvel) handed back between control steps pass
+through the eval EnvState in the eval dtype -- f32 by default -- so the
+oracle trajectory is f32-quantized at control-step boundaries; pass --f64
+for full-f64 oracle parity.
 """
 from __future__ import annotations
 

@@ -57,13 +57,20 @@ def collectives_of(compiled_text: str, n_devices: int):
         if not m:
             continue
         op = m.group(2)
-        if op.rstrip("-start").rstrip("-done") not in _COLLECTIVES \
-                and op not in _COLLECTIVES:
-            continue
         if op.endswith("-done"):
             continue  # counted at -start (same buffer)
-        kind = op[:-6] if op.endswith("-start") else op
-        for dt, dims in _shapes_of(m.group(1)):
+        # Async collectives lower to '-start'/'-done' pairs on TPU; strip the
+        # suffix EXPLICITLY (rstrip takes a character set, not a suffix, and
+        # would eat trailing letters of 'all-gather'/'reduce-scatter').
+        kind = op[:-len("-start")] if op.endswith("-start") else op
+        if kind not in _COLLECTIVES:
+            continue
+        shapes = _shapes_of(m.group(1))
+        if op.endswith("-start") and len(shapes) > 1:
+            # '-start' result tuples alias the operand buffers; only the last
+            # entry is the collective's result -- avoid double counting.
+            shapes = shapes[-1:]
+        for dt, dims in shapes:
             nbytes = _DTYPE_BYTES[dt]
             for d in dims:
                 nbytes *= d

@@ -114,6 +114,13 @@ def trpo_step(policy_params, policy_in_fn: Callable, states, actions,
         # family the self-KL Hessian IS the FIM, so both products agree to
         # roundoff (locked by tests/test_trpo_vgail.py); the FIM form skips
         # the second-order trace.
+        # Normalization deviation vs the reference: agent_trpo.py:102 divides
+        # the mean-block product by the FULL batch size M, while its own KL
+        # (and Fvp_direct) average over all M rows too -- but its surrogate
+        # masks to exploration rows.  Here both the surrogate and the Fisher
+        # are exps-weighted (w / sum(w)), keeping the metric consistent with
+        # the objective; when exploration steps < batch the natural-step
+        # scale differs from the reference's use_fim default by M/sum(w).
         vec = _unflat(v, policy_params)
         (mean, log_std), (dmean, dls) = jax.jvp(
             policy_in_fn, (policy_params,), (vec,))
@@ -209,7 +216,12 @@ def trpo_update(ts, opt_v, hyper, t_hyper: TRPOHyper, batch, windows,
     def value_loss_fn(params):
         p_value, p_vs = params
         v = values_of(p_value, p_vs)
-        return jnp.sum(((v - returns) ** 2) * valid) / n_valid
+        mse = jnp.sum(((v - returns) ** 2) * valid) / n_valid
+        # the reference's L-BFGS critic fit adds 1e-3 * sum(p^2) weight decay
+        # (agent_trpo.py:63-65); keep it so the Adam stand-in fits the same
+        # objective
+        l2 = sum(jnp.sum(p ** 2) for p in jax.tree_util.tree_leaves(params))
+        return mse + 1e-3 * l2
 
     vparams = (ts.value, ts.value_vs)
     ovs = ts.opt_value

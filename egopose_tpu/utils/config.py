@@ -164,6 +164,10 @@ class EgoMimicConfig(ConfigBase):
         self.root_deheading = g("root_deheading", True)
         self.sync_exp_interval = g("sync_exp_interval", 100)
         self.action_type = g("action_type", "position")
+        # torque-mode model overrides (humanoid_v1.py:56-59 set_model_params:
+        # jnt_stiffness[1:] = j_stiff, dof_damping[6:] = j_damp)
+        self.j_stiff = g("j_stiff", None)
+        self.j_damp = g("j_damp", None)
 
         # joint params (egomimic_config.py:108-116)
         if "joint_params" in cfg:
@@ -248,6 +252,21 @@ class StateRegConfig(ConfigBase):
         self.fr_margin = g("fr_margin", 10)
         self.pose_only = g("pose_only", False)
         self.causal = g("causal", False)
+
+
+def apply_model_params(spec: ModelSpec, cfg) -> ModelSpec:
+    """The reference's set_model_params (humanoid_v1.py:54-59): when
+    ``action_type: torque`` and the config carries ``j_stiff``/``j_damp``,
+    override every non-root joint's stiffness (jnt_stiffness[1:], i.e. the
+    hinge dofs 6:) and damping (dof_damping[6:]) before the model is built.
+    Mutates and returns ``spec`` (freshly parsed per build_world call)."""
+    if getattr(cfg, "action_type", "position") != "torque":
+        return spec
+    if getattr(cfg, "j_stiff", None) is not None:
+        spec.dof_stiffness[6:] = np.asarray(cfg.j_stiff, float)
+    if getattr(cfg, "j_damp", None) is not None:
+        spec.dof_damping[6:] = np.asarray(cfg.j_damp, float)
+    return spec
 
 
 def make_env_params(cfg: EgoMimicConfig, spec: ModelSpec, obs_dim: int,

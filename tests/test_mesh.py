@@ -216,3 +216,38 @@ def test_train_step_dp_sp_2d_mesh_matches_single_device():
     for k in m1:
         np.testing.assert_allclose(m2[k], m1[k], rtol=1e-6, atol=1e-8,
                                    err_msg=f"metric {k} diverged on dp x sp")
+
+
+def test_collective_audit_inventories_async_starts():
+    """ADVICE r4: async '-start'/'-done' collective pairs (the common XLA TPU
+    lowering) must be inventoried under their base kind, counted once, and
+    tuple-typed '-start' results must not double-count the operand alias."""
+    from egopose_tpu.parallel import audit
+
+    hlo = "\n".join([
+        "  %ag = (f32[4,8], f32[32,8]) all-gather-start(f32[4,8] %x), dimensions={0}",
+        "  %agd = f32[32,8] all-gather-done((f32[4,8], f32[32,8]) %ag)",
+        "  %rs = f32[4,8] reduce-scatter-start(f32[32,8] %y), dimensions={0}",
+        "  %rsd = f32[4,8] reduce-scatter-done(f32[4,8] %rs)",
+        "  %ar = (f32[16], f32[16]) all-reduce-start(f32[16] %g), to_apply=%add",
+        "  %ard = f32[16] all-reduce-done((f32[16], f32[16]) %ar)",
+        "  %sync = f32[16] all-reduce(f32[16] %h), to_apply=%add",
+        "  %cp = f32[2,8] collective-permute(f32[2,8] %z), source_target_pairs={{0,1}}",
+    ])
+    found = audit.collectives_of(hlo, n_devices=8)
+    kinds = sorted(c.kind for c in found)
+    assert kinds == ["all-gather", "all-reduce", "all-reduce",
+                     "collective-permute", "reduce-scatter"], kinds
+    by_kind = {}
+    for c in found:
+        by_kind.setdefault(c.kind, []).append(c)
+    # tuple-typed -start: only the result buffer (last), not the alias
+    (ag,) = by_kind["all-gather"]
+    assert ag.shape == (32, 8) and ag.bytes == 32 * 8 * 4
+    ars = by_kind["all-reduce"]
+    assert all(a.bytes == 16 * 4 for a in ars)
+    # the batch-gather leak detector must now see async all-gathers
+    with pytest.raises(AssertionError, match="all-gather"):
+        audit.assert_dp_pattern(found, batch_bytes_per_device=32 * 8 * 4)
+    # and pass when the gather is below the batch-shard size
+    audit.assert_dp_pattern(found, batch_bytes_per_device=32 * 8 * 4 + 1)

@@ -74,3 +74,51 @@ def test_env_step_torque_action_type():
                         jnp.zeros(spec.nu, jnp.float64))
     assert np.isfinite(np.asarray(st.qpos)).all()
     assert np.isfinite(float(out.reward))
+
+
+def test_set_model_params_j_stiff_j_damp_override():
+    """set_model_params parity (humanoid_v1.py:54-59): a torque-mode config
+    with j_stiff/j_damp must override the hinge dofs' stiffness/damping in
+    the built model, and the engine must actually feel it (the free-flight
+    trajectory differs from the default model's)."""
+    import yaml
+    from egopose_tpu.utils.config import EgoMimicConfig, apply_model_params
+
+    cfg_dict = yaml.safe_load(
+        open("/root/reference/config/egomimic/subject_03.yml"))
+    cfg_dict["action_type"] = "torque"
+    cfg_dict["j_stiff"] = 5.0
+    cfg_dict["j_damp"] = 2.5
+    cfg = EgoMimicConfig(cfg_dict=cfg_dict)
+
+    spec_d = parse_mjcf(XML)                       # default
+    spec_o = apply_model_params(parse_mjcf(XML), cfg)   # overridden
+    assert np.all(spec_o.dof_stiffness[6:] == 5.0)
+    assert np.all(spec_o.dof_damping[6:] == 2.5)
+    assert np.all(spec_o.dof_stiffness[:6] == spec_d.dof_stiffness[:6])
+    assert not np.array_equal(spec_o.dof_damping, spec_d.dof_damping)
+
+    # position mode (or missing keys) must be a no-op
+    cfg_pos = EgoMimicConfig(cfg_dict={**cfg_dict, "action_type": "position"})
+    spec_p = apply_model_params(parse_mjcf(XML), cfg_pos)
+    np.testing.assert_array_equal(spec_p.dof_stiffness, spec_d.dof_stiffness)
+
+    # the dynamics must diverge under the override
+    no_pairs = engine.DEFAULT_CONTACT._replace(substep_resident=False,
+                                               max_pair_contacts=0)
+    rng = np.random.RandomState(3)
+    qpos = np.zeros(spec_d.nq)
+    qpos[2], qpos[3] = 3.0, 1.0
+    qpos[7:] = np.clip(rng.uniform(-0.2, 0.2, spec_d.nq - 7),
+                       spec_d.jnt_range[:, 0] + 0.05,
+                       spec_d.jnt_range[:, 1] - 0.05)
+    qvel = rng.randn(spec_d.ndof) * 0.1
+    ctrl = jnp.zeros(spec_d.nu, jnp.float64)
+    tl = jnp.full(spec_d.nu, 100.0)
+    out = {}
+    for name, spec in (("default", spec_d), ("override", spec_o)):
+        model = build_model(spec, dtype=jnp.float64)
+        q, _ = engine.torque_control_step(
+            model, jnp.array(qpos), jnp.array(qvel), ctrl, tl, 15, no_pairs)
+        out[name] = np.asarray(q)
+    assert np.abs(out["default"][7:] - out["override"][7:]).max() > 1e-4
