@@ -139,20 +139,41 @@ def measure_tpu():
         float(np.median(train_samples)), train_samples, fallback
 
 
+def latest_checkpoint_iter(model_dir):
+    """Highest iter with a reference-format pickle in ``model_dir`` (0 if
+    none): the eval metric should roll the best trained policy present, not
+    the untrained one whose rollout is dominated by fail-safe re-anchors
+    (VERDICT r4 item 6)."""
+    import re
+    best = 0
+    if os.path.isdir(model_dir):
+        for f in os.listdir(model_dir):
+            m = re.fullmatch(r"iter_(\d{4})\.p", f)
+            if m:
+                best = max(best, int(m.group(1)))
+    return best
+
+
 def measure_eval():
     """Third metric (VERDICT r3 item 9): product inference throughput --
     the ego_mimic_eval scan (policy + value fail-safe + physics, lane =
     take) on the synthetic suite, steady-state frames/s after the first
-    call warms the compile cache."""
+    call warms the compile cache.  Rolls the latest trained checkpoint in
+    results/egomimic/subject_03/models when present (untrained fallback),
+    and reports which plus its fail-safe reset count so the realism of the
+    measured rollout is visible."""
     from egopose_tpu.cli import ego_mimic_eval
     os.chdir(HERE)
+    it = latest_checkpoint_iter(
+        os.path.join(HERE, "results/egomimic/subject_03/models"))
     rates = []
+    meta = {}
     for _ in range(TRIALS + 1):  # first call pays (cached) compile
         _res, meta = ego_mimic_eval.main(
-            ["--cfg", "subject_03", "--synthetic", "--iter", "0"])
+            ["--cfg", "subject_03", "--synthetic", "--iter", str(it)])
         rates.append(meta["frames_per_sec"])
     rates = rates[1:]
-    return float(np.median(rates)), rates
+    return float(np.median(rates)), rates, it, int(meta.get("num_reset", -1))
 
 
 def probe_device(timeout_s: float) -> None:
@@ -180,7 +201,7 @@ def probe_device(timeout_s: float) -> None:
 def main():
     probe_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600")))
     tpu, samples, train, train_samples, fallback = measure_tpu()
-    ev, ev_rates = measure_eval()
+    ev, ev_rates, ev_iter, ev_resets = measure_eval()
     base = get_baseline()
     out = {
         "metric": "ppo_env_steps_per_sec",
@@ -192,6 +213,8 @@ def main():
         "train_loop_trials": [round(s, 1) for s in train_samples],
         "eval_frames_per_sec": round(ev, 1),
         "eval_trials": [round(s, 1) for s in ev_rates],
+        "eval_checkpoint_iter": ev_iter,
+        "eval_num_reset": ev_resets,
     }
     if fallback:
         out["fallback"] = fallback

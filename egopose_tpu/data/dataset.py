@@ -97,6 +97,14 @@ class Dataset:
 
     # -- synthetic data -----------------------------------------------------
     def _init_synthetic(self, n_takes=2, t_len=240, nq=59, res=(32, 32)):
+        # EGOPOSE_SYN_RES overrides the synthetic flow resolution so the
+        # end-to-end pipeline can be exercised at the production 224x224
+        # shape (tools + BASELINE.md receipts) without the real dataset
+        r = int(os.environ.get("EGOPOSE_SYN_RES", "0"))
+        if r:
+            res = (r, r)
+        n_takes = int(os.environ.get("EGOPOSE_SYN_TAKES", n_takes))
+        t_len = int(os.environ.get("EGOPOSE_SYN_LEN", t_len))
         self.meta = None
         self.no_traj = False
         self.dt = 1 / 30.0
@@ -115,9 +123,25 @@ class Dataset:
             traj[:, 7:] = 0.4 * np.sin(2 * np.pi * freqs * tt[:, None] + phases)
             self._syn_trajs[t] = traj
             # synthetic "optical flow": low-dim function of the pose + noise
-            w = self._rng.randn(nq, res[0] * res[1] * 2).astype(np.float32) / nq
+            if r:
+                # overridden-res path (new in round 5): legacy RandomState
+                # gaussians cost ~90 s at 224x224x4 takes; SFC64 is ~10x
+                # faster and only this benchmark-only path uses it, so the
+                # default-res data every test depends on is bit-identical
+                import zlib
+                fast = np.random.Generator(
+                    np.random.SFC64(zlib.crc32(t.encode())))
+                w = fast.standard_normal(
+                    (nq, res[0] * res[1] * 2), dtype=np.float32) / nq
+                noise = 0.05 * fast.standard_normal(
+                    (t_len, res[0], res[1], 2), dtype=np.float32)
+            else:
+                w = self._rng.randn(
+                    nq, res[0] * res[1] * 2).astype(np.float32) / nq
+                noise = 0.05 * self._rng.randn(
+                    t_len, res[0], res[1], 2).astype(np.float32)
             of = (traj @ w).reshape(t_len, res[0], res[1], 2).astype(np.float32)
-            of += 0.05 * self._rng.randn(*of.shape).astype(np.float32)
+            of += noise
             self._syn_of[t] = of
 
     # -- loading ------------------------------------------------------------

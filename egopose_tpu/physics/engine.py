@@ -160,7 +160,21 @@ class ContactParams(NamedTuple):
 # get the VMEM-resident kernel (1.7x control-step compute on v5e, numerics
 # within 1e-6 of the split path per step); CPU, single-env, and unsupported
 # actuator layouts fall back to the split path automatically.
-DEFAULT_CONTACT = ContactParams(substep_resident=True)
+# EGOPOSE_PREP_REFRESH overrides the prep-refresh cadence for measurement
+# tools (tools/bench_prep_refresh.py, bench.py ablations).  The shipped
+# default R=3 (refresh factorization/Delassus/CRBA geometry every 3rd
+# 450 Hz substep, solve against frozen prep in between) comes from the
+# round-5 receipts in BASELINE.md: golden RMS vs MuJoCo C stays inside
+# every bound with margin (worst case pushed 0.0345 < 0.05; the isolated
+# cadence effect is below the engine-vs-MuJoCo distance everywhere) while
+# the control-step kernel drops 7.37 -> 5.69 ms at B=1024 (-23%).  R=5
+# starts to drift (standing cadence effect 0.0036 exceeds its own golden
+# distance) for only 3% more; R=1 pins MuJoCo-C reference behavior
+# (config key `prep_refresh: 1`).
+import os as _os_dc
+DEFAULT_CONTACT = ContactParams(
+    substep_resident=True,
+    prep_refresh=int(_os_dc.environ.get("EGOPOSE_PREP_REFRESH", "3")))
 
 # substep-scan unroll factor: lets XLA fuse across substep boundaries
 # (integrate -> next fk); +10% on v5e at B=1024, 5 measured no better than 3.

@@ -168,6 +168,9 @@ class EgoMimicConfig(ConfigBase):
         # jnt_stiffness[1:] = j_stiff, dof_damping[6:] = j_damp)
         self.j_stiff = g("j_stiff", None)
         self.j_damp = g("j_damp", None)
+        # engine prep-refresh cadence override (ContactParams.prep_refresh);
+        # absent = the engine default, 1 = MuJoCo-C reference behavior
+        self.prep_refresh = g("prep_refresh", None)
 
         # joint params (egomimic_config.py:108-116)
         if "joint_params" in cfg:
@@ -272,7 +275,15 @@ def apply_model_params(spec: ModelSpec, cfg) -> ModelSpec:
 def make_env_params(cfg: EgoMimicConfig, spec: ModelSpec, obs_dim: int,
                     dtype=np.float32,
                     contact: engine.ContactParams = engine.DEFAULT_CONTACT):
-    """Compile the env-relevant config subset into the EnvParams pytree."""
+    """Compile the env-relevant config subset into the EnvParams pytree.
+
+    An optional ``prep_refresh:`` config key overrides the engine's
+    prep-refresh cadence (engine.ContactParams.prep_refresh) -- ``1`` pins
+    MuJoCo-C reference behavior (full recompute every substep); the shipped
+    default and its golden receipts live in BASELINE.md."""
+    pr = getattr(cfg, "prep_refresh", None)
+    if pr is not None:
+        contact = contact._replace(prep_refresh=int(pr))
     import jax.numpy as jnp
     from .. import envs
     ws = cfg.reward_weights
