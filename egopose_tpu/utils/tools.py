@@ -40,11 +40,18 @@ def sync_traj(qpos_traj, qvel_traj, ref_qpos):
 
 
 def remove_noisy_hands(results):
-    """Zero the hand dims in-place (ego_pose/utils/tools.py:35-40)."""
+    """Zero the hand dims in-place (ego_pose/utils/tools.py:35-40).
+
+    Arrays fresh off the device (np.asarray over a jax array) are
+    read-only views; those are replaced with writable copies."""
     for traj in results.values():
         for take in traj.keys():
-            traj[take][..., 32:35] = 0
-            traj[take][..., 42:45] = 0
+            arr = traj[take]
+            if not arr.flags.writeable:
+                arr = arr.copy()
+                traj[take] = arr
+            arr[..., 32:35] = 0
+            arr[..., 42:45] = 0
 
 
 def align_human_state(qpos, qvel, ref_qpos):

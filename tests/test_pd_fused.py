@@ -37,8 +37,11 @@ def test_pd_fused_fallback_matches_split_path():
     qvel = 0.1 * jnp.asarray(rng.randn(B, 58))
     ctrl = 0.1 * jnp.asarray(rng.randn(B, 52))
 
-    split = E.DEFAULT_CONTACT._replace(pd_fused=False)
-    fused = E.DEFAULT_CONTACT._replace(pd_fused=True)
+    # pd_fused is a kept-but-rejected option that always recomputes prep
+    # every substep (engine.ContactParams.prep_refresh is documented as
+    # ignored by it), so compare both paths at R=1.
+    split = E.DEFAULT_CONTACT._replace(pd_fused=False, prep_refresh=1)
+    fused = E.DEFAULT_CONTACT._replace(pd_fused=True, prep_refresh=1)
     qs, vs = jax.jit(jax.vmap(lambda a, b, c: E.pd_control_step(
         model, a, b, c, jkp, jkd, tl, 15, split)))(qpos, qvel, ctrl)
     qf, vf = jax.jit(jax.vmap(lambda a, b, c: E.pd_control_step(
