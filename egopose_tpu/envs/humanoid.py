@@ -353,9 +353,24 @@ def finish_step(model: PhysicsModel, p: EnvParams, tables: BodyTables,
     """Post-physics half of ``step``: bookkeeping, fail/end detection,
     reward, observation.  Split out so an external physics engine (the
     MuJoCo C oracle in the cross-engine parity harness, envs/mujoco_oracle
-    .py) can drive the identical env semantics from its own (qpos, qvel)."""
+    .py) can drive the identical env semantics from its own (qpos, qvel).
+
+    Divergence guard: MuJoCo C flags a diverged simulation via engine
+    warnings (mjWARN_BADQACC / values over mjMAXVAL) before state ever
+    reaches the learner; a batched jitted rollout has no warning channel,
+    and a NaN lane is invisible to the head-height fail check (NaN
+    comparisons are False), so one blown-up lane would poison the whole
+    PPO update through the batch mean (observed once: forecast warm-start
+    run, iter 593).  Here a non-finite or absurd-velocity (|qvel| > 1e8)
+    state terminates the episode as a failure and the stored state is
+    sanitized to the pre-step qpos / zero qvel so every downstream
+    consumer (obs, reward, GAE) stays finite."""
     dt = model.timestep * p.frame_skip
     cur_t = state.cur_t + 1
+    diverged = ~(jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all()) \
+        | (jnp.max(jnp.abs(qvel)) > 1e8)
+    qpos = jnp.where(diverged, state.qpos, qpos)
+    qvel = jnp.where(diverged, jnp.zeros_like(qvel), qvel)
     bq = get_body_quat(tables, qpos)
     new_state = EnvState(qpos=qpos, qvel=qvel, cur_t=cur_t,
                          expert_ind=state.expert_ind,
@@ -369,6 +384,7 @@ def finish_step(model: PhysicsModel, p: EnvParams, tables: BodyTables,
         fail = head_z < fix_head_lb
     else:
         fail = head_z < expert.head_height_lb[state.expert_ind] - 0.1
+    fail = fail | diverged
     ep_len = p.env_episode_len if fix_len is None else fix_len
     end = cur_t >= ep_len
     done = fail | end
@@ -376,6 +392,12 @@ def finish_step(model: PhysicsModel, p: EnvParams, tables: BodyTables,
     cur_ee = get_ee_pos(tables, kin, qpos, p.obs_coord)
     reward_fn = REWARD_FUNCS[p.reward_id]
     reward, comps = reward_fn(p, expert, new_state, cur_ee, dt, end_reward, end)
+    # a diverged step carries no learning signal (the reference's MuJoCo
+    # warning would have discarded it); its sanitized state already keeps
+    # the math finite, the zero reward keeps it meaningless
+    reward = jnp.where(diverged, 0.0, reward)
+    comps = jax.tree_util.tree_map(
+        lambda c: jnp.where(diverged, 0.0, c), comps)
 
     obs = get_obs(p, qpos, qvel, cur_t)
     new_state = new_state._replace(done=done)

@@ -145,3 +145,42 @@ def test_random_cur_t_reset(world):
     st = envs.reset(model, p2, tables, expert, keys[0], fix_expert_ind=0,
                     fix_start_ind=20)
     assert int(st.cur_t) == 0
+
+
+def test_diverged_state_terminates_and_stays_finite(world):
+    """Divergence guard (finish_step): MuJoCo C surfaces a blown-up
+    simulation via engine warnings (mjWARN_BADQACC, values over mjMAXVAL);
+    in a batched jitted rollout a NaN lane instead sails past the
+    head-height fail check (NaN comparisons are False) and poisons the PPO
+    update through the batch mean.  A non-finite or absurd-velocity state
+    must read as a failed episode with finite, zero-reward outputs."""
+    spec, model, cfg, tables, p, expert = world
+    state = envs.reset(model, p, tables, expert, jax.random.PRNGKey(5),
+                       fix_expert_ind=0, fix_start_ind=20)
+
+    # non-finite qpos out of the physics step
+    bad_qpos = state.qpos.at[10].set(jnp.nan)
+    new_state, out = envs.finish_step(model, p, tables, expert, state,
+                                      bad_qpos, state.qvel)
+    assert bool(out.fail) and bool(out.done)
+    assert jnp.isfinite(new_state.qpos).all()
+    assert jnp.isfinite(new_state.qvel).all()
+    assert jnp.isfinite(out.obs).all()
+    assert float(out.reward) == 0.0
+    # sanitized to the pre-step state
+    assert jnp.allclose(new_state.qpos, state.qpos)
+    assert float(jnp.abs(new_state.qvel).max()) == 0.0
+
+    # absurd (but finite) velocity trips the same guard
+    huge_qvel = state.qvel.at[3].set(1e9)
+    _, out2 = envs.finish_step(model, p, tables, expert, state,
+                               state.qpos, huge_qvel)
+    assert bool(out2.fail)
+    assert jnp.isfinite(out2.obs).all()
+    assert float(out2.reward) == 0.0
+
+    # a healthy step is untouched by the guard
+    _, out3 = envs.finish_step(model, p, tables, expert, state,
+                               state.qpos, state.qvel)
+    assert not bool(out3.fail)
+    assert float(out3.reward) > 0.0
