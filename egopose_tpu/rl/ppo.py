@@ -44,17 +44,24 @@ class TrainState(NamedTuple):
 
 def make_optimizers(policy_lr, value_lr, grad_clip=40.0,
                     policy_weight_decay=0.0, value_weight_decay=0.0):
+    """Both optimizers are wrapped in optax.apply_if_finite: a non-finite
+    gradient (BPTT explosion through the context LSTM is the observed
+    producer; optax.clip_by_global_norm turns an inf norm into NaN params
+    via inf * 0) skips that update instead of corrupting the params --
+    the batched analogue of torch users checking clip_grad_norm_'s return.
+    100 consecutive non-finite updates propagate the NaN so a genuinely
+    broken training setup still surfaces instead of silently stalling."""
     opt_p = optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+        lambda learning_rate: optax.apply_if_finite(optax.chain(
             optax.clip_by_global_norm(grad_clip),
             optax.adamw(learning_rate, weight_decay=policy_weight_decay)
             if policy_weight_decay else optax.adam(learning_rate),
-        ))(learning_rate=policy_lr)
+        ), 100))(learning_rate=policy_lr)
     opt_v = optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+        lambda learning_rate: optax.apply_if_finite(optax.chain(
             optax.adamw(learning_rate, weight_decay=value_weight_decay)
             if value_weight_decay else optax.adam(learning_rate),
-        ))(learning_rate=value_lr)
+        ), 100))(learning_rate=value_lr)
     return opt_p, opt_v
 
 
@@ -130,7 +137,12 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
             log_probs = policy_logprob(p_policy, p_vs, states, win, actions)
             if objective == "a2c":   # vanilla PG (agent_pg.py:31-38)
                 return -jnp.sum(log_probs * adv * expw) / ne
-            ratio = jnp.exp(log_probs - flp)
+            # log-ratio clamp: exp of an unbounded f32 log-ratio can
+            # overflow to inf (observed via 90-step s-LSTM BPTT in the
+            # forecast run), and inf * adv -> -inf loss -> NaN grads.
+            # Beyond e^20 the clipped surrogate's min() is insensitive to
+            # the exact ratio, so this changes nothing in the sane regime.
+            ratio = jnp.exp(jnp.clip(log_probs - flp, -20.0, 20.0))
             surr1 = ratio * adv
             surr2 = jnp.clip(ratio, 1.0 - hyper.clip_epsilon,
                              1.0 + hyper.clip_epsilon) * adv

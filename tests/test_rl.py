@@ -193,3 +193,36 @@ def test_a2c_objective_path():
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(np.abs(a - b).max()), before, after)
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_nonfinite_gradient_skips_update():
+    """make_optimizers wraps both optimizers in optax.apply_if_finite: a
+    non-finite gradient (e.g. a BPTT explosion through the context LSTM;
+    clip_by_global_norm alone turns an inf norm into NaN params via
+    inf * 0) must leave the params untouched, and a following finite
+    gradient must apply normally."""
+    import optax
+    from egopose_tpu.rl.ppo import make_optimizers
+
+    opt_p, _ = make_optimizers(policy_lr=1e-2, value_lr=1e-2)
+    params = {"w": jnp.ones(3), "b": jnp.zeros(2)}
+    state = opt_p.init(params)
+
+    bad = {"w": jnp.array([jnp.inf, 1.0, 1.0]), "b": jnp.ones(2)}
+    upd, state = opt_p.update(bad, state, params)
+    p1 = optax.apply_updates(params, upd)
+    assert all(np.allclose(a, b) for a, b in
+               zip(jax.tree_util.tree_leaves(p1),
+                   jax.tree_util.tree_leaves(params)))
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(p1))
+
+    good = {"w": jnp.ones(3), "b": jnp.ones(2)}
+    upd, state = opt_p.update(good, state, p1)
+    p2 = optax.apply_updates(p1, upd)
+    assert float(np.abs(p2["w"] - p1["w"]).max()) > 0
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(p2))
+
+    nan_grad = {"w": jnp.full(3, jnp.nan), "b": jnp.ones(2)}
+    upd, state = opt_p.update(nan_grad, state, p2)
+    p3 = optax.apply_updates(p2, upd)
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(p3))
