@@ -227,12 +227,15 @@ def main(argv=None):
         info_str = np.array2string(log.avg_c_info,
                                    formatter={"all": lambda x: "%.4f" % x},
                                    separator=",")
+        skips = metrics.get("policy_grad_skips", 0) \
+            + metrics.get("value_grad_skips", 0)
         logger.info(
             "{}\tT_sample {:.2f}\tT_update {:.2f}\tR_avg {:.4f} {}"
-            "\tR_range ({:.4f}, {:.4f})\teps_len_avg {:.2f}\tsteps/s {:.0f}"
+            "\tR_range ({:.4f}, {:.4f})\teps_len_avg {:.2f}\tsteps/s {:.0f}{}"
             .format(i_iter, log.sample_time, t_update, log.avg_c_reward,
                     info_str, log.min_c_reward, log.max_c_reward,
-                    log.avg_episode_len, log.num_steps / max(log.sample_time, 1e-9)))
+                    log.avg_episode_len, log.num_steps / max(log.sample_time, 1e-9),
+                    "\tgrad_skips %d" % skips if skips else ""))
         if tb:
             tb.scalar("total_reward", log.avg_c_reward, i_iter)
             tb.scalar("episode_len", log.avg_episode_len, i_iter)

@@ -291,7 +291,17 @@ class AgentEgo:
             sub = meshlib.replicate(self.mesh, sub)
         self.train_state, metrics = self._update_fn(self.train_state, batch,
                                                     windows, sub)
-        return {k: float(v) for k, v in metrics.items()}
+        out = {k: float(v) for k, v in metrics.items()}
+        # non-finite-gradient skip counters (optax.apply_if_finite inside
+        # make_optimizers): a nonzero running total is the observability
+        # hook for BPTT blowups that would otherwise silently NaN training
+        for name, opt_state in (("policy", self.train_state.opt_policy),
+                                ("value", self.train_state.opt_value)):
+            inner = getattr(opt_state, "inner_state", None)
+            tot = getattr(inner, "total_notfinite", None)
+            if tot is not None:
+                out[f"{name}_grad_skips"] = int(tot)
+        return out
 
     # -- checkpointing (pickle, mirroring the reference's naming) ------------
     def checkpoint(self):
