@@ -35,6 +35,11 @@ def main(argv=None):
                         choices=("pickle", "orbax"),
                         help="checkpoint format: reference-compatible pickle "
                              "or native orbax directory; resume auto-detects")
+    parser.add_argument("--kl-target", type=float, default=None,
+                        help="PPO trust-region early stop: halt the policy "
+                             "epochs once approx KL to the sampling policy "
+                             "exceeds this (config key policy_kl_target; "
+                             "default off = reference-exact update)")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -55,6 +60,8 @@ def main(argv=None):
                             create_dirs=not (args.render or args.iter > 0))
     if args.min_batch is not None:
         cfg.min_batch_size = args.min_batch
+    if args.kl_target is not None:
+        cfg.policy_kl_target = args.kl_target
     if args.episode_len is not None:
         cfg.env_episode_len = args.episode_len
     np.random.seed(cfg.seed)

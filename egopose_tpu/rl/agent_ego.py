@@ -125,9 +125,11 @@ class AgentEgo:
             opt_policy=self.opt_p.init((p_pol, p_pvs)),
             opt_value=self.opt_v.init((p_val, p_vvs)))
         self.zstat = running_norm.init_stat(obs_dim, dtype)
-        self.hyper = ppo.PPOHyper(gamma=cfg.gamma, tau=cfg.tau,
-                                  clip_epsilon=cfg.clip_epsilon,
-                                  num_epochs=cfg.num_optim_epoch)
+        self.hyper = ppo.PPOHyper(
+            gamma=cfg.gamma, tau=cfg.tau,
+            clip_epsilon=cfg.clip_epsilon,
+            num_epochs=cfg.num_optim_epoch,
+            kl_target=float(getattr(cfg, "policy_kl_target", 0.0) or 0.0))
         if mesh is not None:
             from ..parallel import mesh as meshlib
             self.train_state = meshlib.replicate(mesh, self.train_state)

@@ -31,6 +31,18 @@ class PPOHyper(NamedTuple):
     num_epochs: int = 10
     value_opt_niter: int = 1
     grad_clip: float = 40.0
+    kl_target: float = 0.0   # > 0: stop the policy-epoch loop once the
+                             # approximate KL to the sampling policy exceeds
+                             # this (standard PPO trust-region early stop;
+                             # config key `policy_kl_target`).  0 disables,
+                             # matching the reference's update exactly
+                             # (agent_ppo.py:16-51 has no KL guard) -- its
+                             # clipped surrogate does not bound movement on
+                             # negative-advantage rows (min() picks the
+                             # unclipped branch), which can run away over
+                             # the 10 full-batch epochs (observed: forecast
+                             # protocol run, P_loss 5e3-1e5 ratio-saturation
+                             # spikes at iters 593/613 followed by collapse)
 
 
 class TrainState(NamedTuple):
@@ -121,8 +133,12 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
     exp_w = batch.exps * valid
     n_exp = jnp.maximum(exp_w.sum(), 1.0)
 
-    def opt_step(ts, d):
-        """One critic + policy step on a (possibly sliced) data tuple."""
+    def opt_step(carry, d):
+        """One critic + policy step on a (possibly sliced) data tuple.
+        ``stop`` (carried) gates the POLICY step only: once the approximate
+        KL to the sampling policy exceeds hyper.kl_target the remaining
+        policy epochs are no-ops (critic fitting continues)."""
+        ts, stop = carry
         states, actions, win, flp, adv, ret, val, expw = d
         nv = jnp.maximum(val.sum(), 1.0)
         ne = jnp.maximum(expw.sum(), 1.0)
@@ -155,13 +171,26 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
             upd, ovs = opt_v.update(vgrad, ovs, vparams)
             vparams = optax.apply_updates(vparams, upd)
         pparams = (ts.policy, ts.policy_vs)
+        if hyper.kl_target > 0:
+            lp_cur = policy_logprob(pparams[0], pparams[1],
+                                    states, win, actions)
+            # Schulman's KL3 estimator E[(r - 1) - log r]: non-negative
+            # (unlike E[logp_old - logp_new], which often goes negative
+            # right after a step and would never trigger the stop)
+            lr = jnp.clip(lp_cur - flp, -20.0, 20.0)
+            approx_kl = jnp.sum(((jnp.exp(lr) - 1.0) - lr) * expw) / ne
+            stop = stop | (approx_kl > hyper.kl_target)
         ploss, pgrad = jax.value_and_grad(policy_loss_fn)(pparams)
         upd, ops_ = opt_p.update(pgrad, ts.opt_policy, pparams)
-        pparams = optax.apply_updates(pparams, upd)
-        ts = TrainState(policy=pparams[0], policy_vs=pparams[1],
+        new_pparams = optax.apply_updates(pparams, upd)
+        if hyper.kl_target > 0:
+            new_pparams, ops_ = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(stop, old, new),
+                (new_pparams, ops_), (pparams, ts.opt_policy))
+        ts = TrainState(policy=new_pparams[0], policy_vs=new_pparams[1],
                         value=vparams[0], value_vs=vparams[1],
                         opt_policy=ops_, opt_value=ovs)
-        return ts, (ploss, vloss)
+        return (ts, stop), (ploss, vloss)
 
     full = (batch.states, batch.actions, windows, fixed_log_probs,
             advantages, returns, valid, exp_w)
@@ -176,19 +205,22 @@ def ppo_update(ts: TrainState, opt_p, opt_v, hyper: PPOHyper,
             return (states[:, idx], actions[:, idx], win[idx], flp[:, idx],
                     adv[:, idx], ret[:, idx], val[:, idx], expw[:, idx])
 
-        def epoch(ts, ke):
+        def epoch(carry, ke):
             perm = jax.random.permutation(ke, bsz)[:n_mb * mb]
-            ts, (pl, vl) = jax.lax.scan(
+            carry, (pl, vl) = jax.lax.scan(
                 lambda c, idx: opt_step(c, slice_lanes(idx)),
-                ts, perm.reshape(n_mb, mb))
-            return ts, (pl[-1], vl[-1])
+                carry, perm.reshape(n_mb, mb))
+            return carry, (pl[-1], vl[-1])
 
-        ts, (plosses, vlosses) = jax.lax.scan(
-            epoch, ts, jax.random.split(key, hyper.num_epochs))
+        (ts, stopped), (plosses, vlosses) = jax.lax.scan(
+            epoch, (ts, jnp.zeros((), bool)),
+            jax.random.split(key, hyper.num_epochs))
     else:
-        ts, (plosses, vlosses) = jax.lax.scan(
-            lambda c, _: opt_step(c, full), ts, None,
+        (ts, stopped), (plosses, vlosses) = jax.lax.scan(
+            lambda c, _: opt_step(c, full), (ts, jnp.zeros((), bool)), None,
             length=hyper.num_epochs)
     metrics = {"policy_loss": plosses[-1], "value_loss": vlosses[-1],
                "n_valid": n_valid, "n_exp": n_exp}
+    if hyper.kl_target > 0:
+        metrics["kl_stopped"] = stopped
     return ts, metrics

@@ -110,6 +110,9 @@ class EgoMimicConfig(ConfigBase):
         self.value_weightdecay = g("value_weightdecay", 0.0)
         self.adv_clip = g("adv_clip", np.inf)
         self.clip_epsilon = g("clip_epsilon", 0.2)
+        # optional PPO trust-region early stop (PPOHyper.kl_target); 0/absent
+        # = reference-exact update with no KL guard
+        self.policy_kl_target = g("policy_kl_target", 0.0)
         self.log_std = g("log_std", -2.3)
         self.fix_std = g("fix_std", False)
         self.num_optim_epoch = g("num_optim_epoch", 10)

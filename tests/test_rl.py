@@ -226,3 +226,51 @@ def test_nonfinite_gradient_skips_update():
     upd, state = opt_p.update(nan_grad, state, p2)
     p3 = optax.apply_updates(p2, upd)
     assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(p3))
+
+
+def test_kl_target_early_stop():
+    """policy_kl_target > 0 halts the policy-epoch loop once the approx KL
+    to the sampling policy exceeds the target (PPOHyper.kl_target): a tiny
+    target reduces the 10-epoch update to exactly the 1-epoch update's
+    policy params (first epoch has KL 0, second stops), and a huge target
+    reproduces the unguarded update bit-for-bit."""
+    from egopose_tpu.physics import parse_mjcf, build_model
+    from egopose_tpu import envs
+    from egopose_tpu.utils.config import EgoMimicConfig, make_env_params
+    from egopose_tpu.rl import AgentEgo
+
+    spec = parse_mjcf("assets/mujoco_models/humanoid_1205_v1.xml")
+    model = build_model(spec, dtype=jnp.float64)
+    base = yaml.safe_load(open("config/egomimic/subject_03.yml"))
+    base["env_episode_len"] = 20
+    base["num_optim_epoch"] = 3
+
+    def run(kl_target, epochs):
+        cfg_dict = dict(base)
+        cfg_dict["policy_kl_target"] = kl_target
+        cfg_dict["num_optim_epoch"] = epochs
+        cfg = EgoMimicConfig(cfg_dict=cfg_dict)
+        tables = envs.make_body_tables(spec)
+        p = make_env_params(cfg, spec, obs_dim=115, dtype=np.float64)
+        expert = envs.synthetic_experts(model, p, tables, spec, n_takes=2,
+                                        t_len=120, seed=0)
+        cnn_feat = jnp.asarray(np.random.RandomState(0).randn(2, 120, 32))
+        agent = AgentEgo(model, spec, p, tables, expert, cnn_feat, cfg,
+                         batch_lanes=4, seed=1, dtype=jnp.float64)
+        batch, _ = agent.sample(jax.random.PRNGKey(0), min_batch_size=40)
+        agent.update_params(batch)
+        return jax.device_get(agent.train_state.policy)
+
+    p_tiny = run(1e-12, 3)
+    p_one = run(0.0, 1)
+    p_full = run(0.0, 3)
+    p_huge = run(1e6, 3)
+
+    flat = lambda t: np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(t)])
+    assert np.allclose(flat(p_tiny), flat(p_one), atol=1e-12), \
+        "tiny KL target must reduce to the single-epoch update"
+    assert np.allclose(flat(p_huge), flat(p_full), atol=1e-12), \
+        "huge KL target must not change the unguarded update"
+    assert np.abs(flat(p_full) - flat(p_one)).max() > 1e-9, \
+        "3-epoch and 1-epoch updates should differ (sanity)"
