@@ -154,7 +154,8 @@ def main(argv=None):
                     log.avg_episode_len,
                     metrics.get("policy_loss", float("nan")),
                     metrics.get("value_loss", float("nan")),
-                    "\tgrad_skips %d" % skips if skips else ""))
+                    ("\tgrad_skips %d" % skips if skips else "")
+                    + ("\tkl_stop" if metrics.get("kl_stopped") else "")))
         if tb:
             tb.scalar("total_reward", log.avg_c_reward, i_iter)
             tb.scalar("episode_len", log.avg_episode_len, i_iter)

@@ -224,9 +224,11 @@ def make_forecast_agent(model, spec, params, tables, expert, cnn_feat, cfg,
         opt_policy=agent.opt_p.init((p_pol, p_pvs)),
         opt_value=agent.opt_v.init((p_val, p_vvs)))
     agent.zstat = running_norm.init_stat(obs_dim, dtype)
-    agent.hyper = ppo.PPOHyper(gamma=cfg.gamma, tau=cfg.tau,
-                               clip_epsilon=cfg.clip_epsilon,
-                               num_epochs=cfg.num_optim_epoch)
+    agent.hyper = ppo.PPOHyper(
+        gamma=cfg.gamma, tau=cfg.tau,
+        clip_epsilon=cfg.clip_epsilon,
+        num_epochs=cfg.num_optim_epoch,
+        kl_target=float(getattr(cfg, "policy_kl_target", 0.0) or 0.0))
     if mesh is not None:
         from ..parallel import mesh as meshlib
         agent.train_state = meshlib.replicate(mesh, agent.train_state)
