@@ -95,6 +95,20 @@ def main(argv=None):
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of one post-compile "
                              "training epoch")
+    parser.add_argument("--data-on-device", action="store_true",
+                        default=False,
+                        help="upload the epoch's chunk batches to device "
+                             "HBM once and index them there, instead of "
+                             "streaming every batch over the host->device "
+                             "link each epoch.  The production corpus is "
+                             "sub-HBM-sized (a subject's packed flow is a "
+                             "few GB vs 16 GB HBM), so on link-bound rigs "
+                             "(tunneled dev chips: ~10-20 MB/s measured, "
+                             "tools/bench_link.py) this removes the link "
+                             "from the steady-state loop entirely.  "
+                             "Requires iter_method 'iter' without shuffle "
+                             "(fixed batch order across epochs); falls "
+                             "back to streaming otherwise")
     parser.add_argument("--transfer-dtype", default="f32",
                         choices=("f16", "f32"),
                         help="dtype for the optical-flow host->device "
@@ -281,6 +295,41 @@ def main(argv=None):
                     return
                 yield item
 
+        resident = None
+        if args.data_on_device:
+            if cfg.shuffle or cfg.iter_method != "iter":
+                logger.info("--data-on-device needs iter_method 'iter' "
+                            "without shuffle (fixed batch order); falling "
+                            "back to streaming")
+            else:
+                # One-time upload of every chunk batch to HBM; the epoch
+                # loop then indexes device arrays and the host->device
+                # link drops out of the steady state (it is the binding
+                # constraint on tunneled dev rigs: ~10-20 MB/s honest-
+                # fenced, tools/bench_link.py).
+                tdtype = np.float16 if args.transfer_dtype == "f16" \
+                    else dtype
+                t_up = time.time()
+                resident = []
+                up_bytes = 0
+                for buf in host_batches():
+                    of = np.stack([b[0] for b in buf], 1).astype(tdtype)
+                    gt = np.stack([b[1] for b in buf], 1)
+                    mask = np.stack([b[2] for b in buf], 1)
+                    up_bytes += of.nbytes + gt.nbytes + mask.nbytes
+                    resident.append((jax.device_put(of),
+                                     jax.device_put(gt),
+                                     jax.device_put(mask),
+                                     sum(b[3] for b in buf)))
+                # fence the upload honestly: device_put is lazy on the
+                # tunneled backend (block_until_ready does not cover the
+                # bytes); a readback that consumes the last buffer does
+                float(resident[-1][0].astype(jnp.float32).sum())
+                logger.info(
+                    "data-on-device: %d batches (%.0f MB) resident in "
+                    "%.1fs" % (len(resident), up_bytes / 1e6,
+                               time.time() - t_up))
+
         max_epoch = args.max_epoch or cfg.num_epoch
         step = 0
         for i_epoch in range(args.iter, max_epoch):
@@ -291,7 +340,8 @@ def main(argv=None):
                 jax.profiler.start_trace(args.profile_dir)
             t0 = time.time()
             n_sample, losses, counts = 0, [], []
-            for of, gt, mask, num in device_batches():
+            for of, gt, mask, num in (resident if resident is not None
+                                      else device_batches()):
                 variables, opt_state, loss = train_step(
                     variables, opt_state, of, gt, mask, step)
                 step += 1

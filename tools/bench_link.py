@@ -6,7 +6,9 @@ BASELINE.md's ingest table measures the HOST half on a CPU-backend
 device_put stand-in, where f16 loses (downcast costs more than the memcpy
 it saves).  Over a real link the bytes dominate; this tool settles which
 dtype is the production configuration ON THIS RIG's tunneled link with a
-number instead of a claim.
+number instead of a claim.  The transfer is fenced by a device-side
+reduction + scalar readback: block_until_ready() does not fence
+device_put bytes on this backend (see main()).
 
 Usage: python tools/bench_link.py   (needs the TPU; one process at a time)
 """
@@ -27,19 +29,28 @@ TRIALS = int(os.environ.get("LINK_TRIALS", "3"))
 
 
 def main():
+    import jax.numpy as jnp
+
     dev = jax.devices()[0]
     rng = np.random.RandomState(0)
     base = rng.randn(FR_NUM, BATCH, 2, H, W).astype(np.float32)
     out = {"device": str(dev), "batch_shape": list(base.shape)}
+    # FENCE CAVEAT: on the tunneled axon backend block_until_ready() does
+    # NOT wait for the host->device bytes of a device_put -- timing the put
+    # alone reports GB/s-class fiction (measured: 1.4 GB/s "put" vs ~10
+    # MB/s actual).  The only honest fence is a device computation that
+    # consumes the transferred array followed by a scalar readback.
+    reduce_sum = jax.jit(lambda x: x.astype(jnp.float32).sum())
     for dt, name in ((np.float32, "f32"), (np.float16, "f16")):
-        arr = base.astype(dt)
-        nbytes = arr.nbytes
-        # warm: first put pays allocator setup
-        jax.block_until_ready(jax.device_put(arr, dev))
+        nbytes = base.astype(dt).nbytes
+        # warm: first put pays allocator setup + reduce compile
+        float(reduce_sum(jax.device_put(base.astype(dt), dev)))
         rates, mbs = [], []
-        for _ in range(TRIALS):
+        for i in range(TRIALS):
+            # fresh bytes each trial: the tunnel must actually move them
+            arr = (base + np.float32(i + 1)).astype(dt)
             t0 = time.time()
-            jax.block_until_ready(jax.device_put(arr, dev))
+            float(reduce_sum(jax.device_put(arr, dev)))
             dtr = time.time() - t0
             rates.append(FR_NUM * BATCH / dtr)
             mbs.append(nbytes / dtr / 1e6)
